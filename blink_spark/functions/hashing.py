@@ -1,0 +1,219 @@
+"""Deterministic vectorized hashing kernels: MinHash, SimHash, hashed n-gram vectors.
+
+These are the numpy bodies of the stage-1 blocking UDFs — the engine's
+analog of the reference's dense retrieval machinery:
+
+* MinHash-LSH band keys   ≈ FAISS ANN probe (reference
+  ``blink/indexer/faiss_indexer.py:47-141``) / Solr BM25 token retrieval
+  (``blink/candidate_generation.py:68-115``): a cheap, recall-oriented
+  candidate generator.
+* SimHash over hashed char n-grams ≈ the bi-encoder embedding + random
+  projection bucketing (reference ``blink/biencoder/biencoder.py:126-144``):
+  a second, independent retrieval modality (BLINK also unions dense +
+  BM25/p_e_m candidates).
+
+Everything is seeded and partition-order independent, so results are
+byte-identical across parallelism levels (needed for the N vs 4N scaling
+evidence to double as a correctness check — SURVEY.md §7.3).
+
+All hashes route through :func:`stable_hash64` (pandas' fixed-key SipHash),
+never Python's randomized ``hash()``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+# Fixed 64-bit mixing constants (splitmix64 finalizer) — public-domain
+# constants widely used for integer hash mixing.
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+_U64 = np.uint64
+_MERSENNE61 = (1 << 61) - 1
+
+
+def stable_hash64(values: "pd.Series | np.ndarray | list[str]") -> np.ndarray:
+    """Deterministic 64-bit hash of strings (fixed-key SipHash via pandas).
+
+    Stable across processes, machines, and Python versions — unlike
+    builtin ``hash()``.
+    """
+    if not isinstance(values, pd.Series):
+        values = pd.Series(values, dtype=object)
+    return pd.util.hash_array(values.to_numpy(dtype=object), categorize=False).astype(np.uint64)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — decorrelates integer keys."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x += _GOLDEN
+        x = (x ^ (x >> np.uint64(30))) * _MIX1
+        x = (x ^ (x >> np.uint64(27))) * _MIX2
+        x = x ^ (x >> np.uint64(31))
+    return x
+
+
+def token_shingles(tokens: list[str], k: int = 3) -> np.ndarray:
+    """Hashes of the k-token shingles of one token list (uint64, deduped).
+
+    A document shorter than ``k`` tokens contributes its whole token list
+    as a single shingle so it still gets a signature.
+    """
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n < k:
+        grams = [" ".join(tokens)]
+    else:
+        grams = [" ".join(tokens[i : i + k]) for i in range(n - k + 1)]
+    return np.unique(stable_hash64(grams))
+
+
+def char_ngrams_hashed(text: str, n: int = 3) -> np.ndarray:
+    """Hashes of character n-grams of one string (uint64, with repeats)."""
+    if len(text) < n:
+        return stable_hash64([text]) if text else np.empty(0, dtype=np.uint64)
+    grams = [text[i : i + n] for i in range(len(text) - n + 1)]
+    return stable_hash64(grams)
+
+
+class MinHasher:
+    """Seeded MinHash over uint64 shingle-hash sets.
+
+    ``num_perm`` permutations ``h_i(x) = (a_i * x + b_i) mod p`` over the
+    Mersenne prime ``p = 2^61 - 1`` (the classic universal family), computed
+    vectorized across a whole Arrow batch with ``np.minimum.reduceat``.
+    """
+
+    def __init__(self, num_perm: int = 128, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        # a in [1, p-1], b in [0, p-1]
+        self.a = rng.randint(1, _MERSENNE61, size=num_perm, dtype=np.int64).astype(np.uint64)
+        self.b = rng.randint(0, _MERSENNE61, size=num_perm, dtype=np.int64).astype(np.uint64)
+        self.num_perm = num_perm
+
+    def _permute(self, hashes: np.ndarray) -> np.ndarray:
+        """(P, M) matrix of permuted hash values for M input hashes."""
+        # Work modulo 2^64 with a splitmix-mixed input; empirically
+        # uniform and avoids 128-bit arithmetic. Determinism is what
+        # matters for LSH banding; collision stats stay minhash-like.
+        x = splitmix64(hashes)
+        with np.errstate(over="ignore"):
+            return self.a[:, None] * x[None, :] + self.b[:, None]
+
+    def signatures(self, shingle_sets: list[np.ndarray], chunk: int = 200_000) -> np.ndarray:
+        """MinHash signatures for a batch of shingle-hash sets.
+
+        Returns ``(D, P)`` uint64. Empty sets get the all-max signature
+        (they never collide with anything).
+        """
+        D = len(shingle_sets)
+        out = np.full((D, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        if D == 0:
+            return out
+        sizes = np.array([len(s) for s in shingle_sets], dtype=np.int64)
+        nonempty = np.nonzero(sizes > 0)[0]
+        if len(nonempty) == 0:
+            return out
+        # process in bounded chunks so (P × chunk) scratch stays small
+        start = 0
+        ne_sizes = sizes[nonempty]
+        while start < len(nonempty):
+            end = start
+            total = 0
+            while end < len(nonempty) and (total == 0 or total + ne_sizes[end] <= chunk):
+                total += ne_sizes[end]
+                end += 1
+            idx = nonempty[start:end]
+            concat = np.concatenate([shingle_sets[i] for i in idx])
+            offsets = np.zeros(len(idx), dtype=np.int64)
+            np.cumsum(ne_sizes[start : end - 1], out=offsets[1:])
+            hv = self._permute(concat)  # (P, total)
+            sig = np.minimum.reduceat(hv, offsets, axis=1)  # (P, len(idx))
+            out[idx] = sig.T
+            start = end
+        return out
+
+    def band_keys(self, sigs: np.ndarray, bands: int) -> np.ndarray:
+        """LSH band keys: ``(D, bands)`` int64.
+
+        Signature split into ``bands`` contiguous row-groups; each group is
+        mixed into a single 64-bit key (band index baked in so keys from
+        different bands never collide).
+        """
+        D, P = sigs.shape
+        assert P % bands == 0, f"num_perm={P} not divisible by bands={bands}"
+        r = P // bands
+        keys = np.empty((D, bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for b in range(bands):
+                acc = np.full(D, _U64(b + 1), dtype=np.uint64)
+                block = sigs[:, b * r : (b + 1) * r]
+                for j in range(r):
+                    acc = splitmix64(acc * _GOLDEN + block[:, j])
+                keys[:, b] = acc
+        return keys.view(np.int64)
+
+
+def simhash64(feature_hashes: list[np.ndarray], weights: list[np.ndarray] | None = None) -> np.ndarray:
+    """64-bit SimHash per document from hashed-feature multisets.
+
+    For each of the 64 bit positions, sums +w/−w according to the feature
+    hash's bit, then takes the sign. Deterministic; no RNG needed.
+    Returns int64 array of length D.
+    """
+    D = len(feature_hashes)
+    out = np.zeros(D, dtype=np.uint64)
+    bit_idx = np.arange(64, dtype=np.uint64)
+    for d in range(D):
+        f = feature_hashes[d]
+        if len(f) == 0:
+            continue
+        w = weights[d] if weights is not None else np.ones(len(f), dtype=np.float64)
+        bits = ((f[:, None] >> bit_idx[None, :]) & _U64(1)).astype(np.float64)  # (M, 64)
+        score = (w[:, None] * (2.0 * bits - 1.0)).sum(axis=0)  # (64,)
+        bitvec = (score > 0).astype(np.uint64)
+        out[d] = np.bitwise_or.reduce(bitvec << bit_idx)
+    return out.view(np.int64)
+
+
+def simhash_band_keys(simhashes: np.ndarray, bands: int = 4) -> np.ndarray:
+    """Split a 64-bit SimHash into ``bands`` equal bit-slices → (D, bands) int64 keys.
+
+    Two documents whose SimHashes agree on any full slice land in the same
+    bucket — the random-hyperplane analog of MinHash banding.
+    """
+    sh = simhashes.view(np.uint64)
+    width = 64 // bands
+    mask = _U64((1 << width) - 1)
+    keys = np.empty((len(sh), bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for b in range(bands):
+            slice_bits = (sh >> _U64(b * width)) & mask
+            keys[:, b] = splitmix64(slice_bits * _GOLDEN + _U64(b + 101))
+    return keys.view(np.int64)
+
+
+def hashed_ngram_vector(text: str, dim: int = 256, n: int = 3) -> np.ndarray:
+    """Feature-hashed char-n-gram count vector (float32, L2-normalized).
+
+    The engine's cheap deterministic "embedding" (reference analog: the
+    bi-encoder context/candidate encoders, ``blink/biencoder/biencoder.py``
+    — here replaced by a seedless feature-hashing projection, per
+    SURVEY.md §2.9 U1/U2).
+    """
+    v = np.zeros(dim, dtype=np.float32)
+    h = char_ngrams_hashed(text, n=n)
+    if len(h) == 0:
+        return v
+    buckets = (h % _U64(dim)).astype(np.int64)
+    signs = np.where((h >> _U64(32)) & _U64(1), 1.0, -1.0).astype(np.float32)
+    np.add.at(v, buckets, signs)
+    norm = np.linalg.norm(v)
+    if norm > 0:
+        v /= norm
+    return v

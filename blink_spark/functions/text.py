@@ -1,0 +1,109 @@
+"""Text canonicalization and analysis as JVM-side column expressions.
+
+Reference analogs (SURVEY.md §2.2/§2.8): lowercase-everything normalization
+(``blink/main_dense.py:84-94``), token counting
+(``process_wiki_extractor_output_full.py:52-94``), context windows
+(``blink/candidate_retrieval/utils.py:198-250``). All of these stay inside
+whole-stage codegen — no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def canonicalize(col: Column) -> Column:
+    """Lowercase, collapse whitespace, trim — the engine's P1 normalization.
+
+    Reference: "LOWERCASE EVERYTHING" ``blink/main_dense.py:84-94``.
+    Used to build blocking/scoring features ONLY — the stored turn text is
+    never mutated (per-turn text-equality invariant, BASELINE.json).
+    """
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of canonicalized text."""
+    return F.split(canonicalize(col), " ")
+
+
+def token_count(col: Column) -> Column:
+    """Number of whitespace tokens (0 for empty text)."""
+    t = canonicalize(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, " ")))
+
+
+def word_window(col: Column, last_n: int, first_n: int) -> Column:
+    """Last ``last_n`` + first ``first_n`` words — the reference's context
+    truncation (``blink/candidate_retrieval/utils.py:198-208``)."""
+    t = tokens(col)
+    return F.concat_ws(
+        " ",
+        F.array_join(F.slice(t, -last_n, last_n), " "),
+        F.array_join(F.slice(t, 1, first_n), " "),
+    )
+
+
+def token_ngrams(col: Column, n: int = 3) -> Column:
+    """Array of n-token shingles (JVM-side, via ``transform`` over a
+    ``sequence`` of start offsets). Short texts yield the whole text as
+    one shingle — mirrors :func:`blink_spark.functions.hashing.token_shingles`."""
+    t = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, (i + F.lit(j)).cast("int")) for j in range(n)]),
+    )
+    return F.when(F.size(t) >= n, grams).otherwise(F.array(F.array_join(t, " ")))
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Cheap document-quality signals for training-data pipelines:
+    length, punctuation ratio, stopword ratio, mean word length, alpha ratio."""
+    t = canonicalize(col)
+    n_chars = F.length(t)
+    toks = F.split(t, " ")
+    n_tokens = F.when(n_chars == 0, F.lit(0)).otherwise(F.size(toks))
+    stopwords = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+    stop_hits = F.size(F.filter(toks, lambda w: w.isin(stopwords)))
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_alpha = F.length(F.regexp_replace(t, r"[^a-z]", ""))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": F.when(n_chars == 0, F.lit(0.0)).otherwise(n_punct / n_chars),
+        "stopword_ratio": F.when(n_tokens == 0, F.lit(0.0)).otherwise(stop_hits / n_tokens),
+        "mean_word_len": F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+            F.length(F.regexp_replace(t, r"\s", "")) / n_tokens
+        ),
+        "alpha_ratio": F.when(n_chars == 0, F.lit(0.0)).otherwise(n_alpha / n_chars),
+    }
+
+
+# tiny per-language stopword lists for the n-gram language-ID heuristic
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "des", "est"],
+}
+
+
+def lang_id_heuristic(col: Column) -> Column:
+    """Marker-word-voting language ID: argmax over per-language stopword hits,
+    'und' (undetermined) when no marker fires."""
+    toks = tokens(col)
+    scores = [
+        F.struct(
+            F.size(F.filter(toks, lambda w: w.isin(markers))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, markers in sorted(_LANG_MARKERS.items())
+    ]
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column) -> Column:
+    """64-bit stable document fingerprint of canonicalized text (xxhash64)."""
+    return F.xxhash64(canonicalize(col))

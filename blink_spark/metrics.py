@@ -1,0 +1,77 @@
+"""Evaluation metrics: pairwise P/R/F1, recall@k, cluster stats.
+
+Reference analogs (SURVEY.md §2.4): micro P/R/F1
+(``elq/main_dense.py:591-602``), recall@k curves
+(``blink/main_dense.py:459-477``), per-dataset rollups
+(``blink/candidate_retrieval/evaluator.py:29-90``). All single-pass
+DataFrame aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pairwise_confusion(assignments: DataFrame, labeled_pairs: DataFrame) -> DataFrame:
+    """Join labeled pairs to cluster assignments → per-pair pred/gold flags.
+
+    A pair is *predicted* matched iff both sides land in the same cluster
+    (missing assignment ⇒ singleton ⇒ cluster = self).
+    """
+    ca = assignments.select(F.col("conv_id").alias("conv_a"), F.col("cluster_id").alias("cluster_a"))
+    cb = assignments.select(F.col("conv_id").alias("conv_b"), F.col("cluster_id").alias("cluster_b"))
+    return (
+        labeled_pairs.join(ca, "conv_a", "left")
+        .join(cb, "conv_b", "left")
+        .select(
+            "conv_a",
+            "conv_b",
+            "is_match",
+            (
+                F.coalesce("cluster_a", F.col("conv_a")) == F.coalesce("cluster_b", F.col("conv_b"))
+            ).cast("int").alias("pred_match"),
+        )
+    )
+
+
+def pairwise_f1(assignments: DataFrame, labeled_pairs: DataFrame) -> dict:
+    """Micro precision / recall / F1 over labeled pairs (the ≥0.99 gate)."""
+    row = (
+        pairwise_confusion(assignments, labeled_pairs)
+        .agg(
+            F.sum((F.col("pred_match") * F.col("is_match"))).alias("tp"),
+            F.sum(F.col("pred_match")).alias("pred_pos"),
+            F.sum(F.col("is_match")).alias("gold_pos"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    tp, pred, gold = int(row["tp"] or 0), int(row["pred_pos"] or 0), int(row["gold_pos"] or 0)
+    precision = tp / pred if pred else 1.0
+    recall = tp / gold if gold else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {"precision": precision, "recall": recall, "f1": f1, "tp": tp, "pred_pos": pred, "gold_pos": gold, "n_pairs": int(row["n"])}
+
+
+def blocking_recall(pairs: DataFrame, labeled_pairs: DataFrame) -> dict:
+    """Fraction of gold-positive pairs surviving stage-1 blocking.
+
+    Stage-1 recall upper-bounds final F1 — the exact analog of the
+    reference's bi-encoder recall@k gate (``blink/main_dense.py:459-477``).
+    """
+    gold = labeled_pairs.where(F.col("is_match") == 1).select("conv_a", "conv_b")
+    n_gold = gold.count()
+    hit = gold.join(pairs, ["conv_a", "conv_b"], "left_semi").count()
+    return {"blocking_recall": hit / n_gold if n_gold else 1.0, "gold_pairs": n_gold, "blocked_gold_pairs": hit}
+
+
+def cluster_stats(assignments: DataFrame) -> dict:
+    """Size distribution of predicted clusters (skew visibility)."""
+    sizes = assignments.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
+    row = sizes.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.max("size").alias("max_size"),
+        F.avg("size").alias("avg_size"),
+    ).collect()[0]
+    return {"n_clusters": int(row["n_clusters"]), "max_size": int(row["max_size"]), "avg_size": float(row["avg_size"])}

@@ -1,0 +1,177 @@
+"""Stage 1 — blocking: MinHash-LSH band keys + SimHash embedding buckets.
+
+This is the candidate-generation stage: the Spark-native analog of the
+reference's bi-encoder + FAISS retrieval (``blink/indexer/faiss_indexer.py:
+47-141``, ``blink/biencoder/biencoder.py:148-177``) and its Solr BM25
+keyword retrieval (``blink/candidate_generation.py:68-115``). Like the
+reference — which unions dense, BM25, and p_e_m-prior candidates — we union
+two independent modalities (MinHash token-shingle bands ∪ SimHash char-gram
+bands) because recall of stage 1 upper-bounds final F1 (SURVEY.md §7.3).
+
+Scale design:
+* signatures computed in ONE Arrow pass per conversation (vectorized numpy
+  kernel, no per-row Python) → ``posexplode`` band keys → equi-join;
+* oversized blocks (hot keys — boilerplate/empty conversations) are CAPPED
+  before the self-join: the |block|² pair explosion is the ER scale
+  killer. Dropped-key counts are reported as lineage metrics
+  (reference analog of its ``top_k``/``num_cand_mentions`` caps,
+  ``elq/main_dense.py:851-856``);
+* the pair self-join runs under AQE skew-join; pairs are canonicalized
+  ``(least, greatest)`` + de-duplicated before stage 2.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from blink_spark.functions import hashing as H
+from blink_spark.functions.text import canonicalize
+
+
+@dataclass
+class BlockingConfig:
+    num_perm: int = 128          # MinHash permutations
+    # rows-per-band r = num_perm / bands = 2: band-collision prob at pair
+    # Jaccard j is 1-(1-j²)^64 ≈ 0.9998 at j=0.35 — recall-oriented, like
+    # the reference's top_k=100 retrieval (recall upper-bounds final F1).
+    # The extra pair volume r=2 admits is controlled by max_block_size.
+    minhash_bands: int = 64
+    shingle_k: int = 3           # tokens per shingle
+    simhash_bands: int = 4       # 64-bit SimHash → 4×16-bit buckets
+    char_ngram: int = 3
+    max_block_size: int = 50     # hard cap on block membership (skew guard)
+    vec_dim: int = 256           # hashed n-gram embedding dim
+    seed: int = 42
+
+
+def conversation_docs(transcripts: DataFrame) -> DataFrame:
+    """Collapse turns into one canonical document per conversation.
+
+    Stable ``(conv_id, turn_idx)`` ordering via ``array_sort`` over
+    ``struct(turn_idx, text)`` — deterministic regardless of partitioning,
+    and the raw turn text is never mutated (the per-turn text-equality
+    invariant lives in the *source* table; this is a derived view).
+    """
+    turn = F.struct(F.col("turn_idx"), F.col("text"))
+    return (
+        transcripts.groupBy("conv_id")
+        .agg(
+            F.array_sort(F.collect_list(turn)).alias("turns"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+        .select(
+            "conv_id",
+            "n_turns",
+            canonicalize(F.array_join(F.transform("turns", lambda t: t["text"]), " ␞ ")).alias("doc"),
+        )
+    )
+
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("n_turns", T.LongType()),
+        T.StructField("doc_head", T.StringType()),
+        T.StructField("shingles", T.ArrayType(T.LongType())),
+        T.StructField("vec", T.ArrayType(T.FloatType())),
+        T.StructField("minhash_keys", T.ArrayType(T.LongType())),
+        T.StructField("simhash_keys", T.ArrayType(T.LongType())),
+    ]
+)
+
+_HEAD_CHARS = 512  # text prefix retained for the stage-2 edit-distance features
+
+
+def compute_features(docs: DataFrame, cfg: BlockingConfig | None = None) -> DataFrame:
+    """One Arrow pass computing every per-conversation feature stage 1+2 need:
+
+    shingle-hash set, hashed n-gram vector, MinHash band keys, SimHash band
+    keys, and a bounded text head. Computing them together means the corpus
+    is read ONCE and stage 2 never has to re-derive features per pair
+    (the reference equivalently precomputes + caches entity encodings,
+    ``blink/eval_biencoder.py:229-253``).
+    """
+    cfg = cfg or BlockingConfig()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mh = H.MinHasher(num_perm=cfg.num_perm, seed=cfg.seed)
+        for pdf in batches:
+            texts = pdf["doc"].fillna("").tolist()
+            shingle_sets = [H.token_shingles(t.split(), k=cfg.shingle_k) for t in texts]
+            sigs = mh.signatures(shingle_sets)
+            mh_keys = mh.band_keys(sigs, cfg.minhash_bands)
+            cgrams = [H.char_ngrams_hashed(t, n=cfg.char_ngram) for t in texts]
+            sh = H.simhash64(cgrams)
+            sh_keys = H.simhash_band_keys(sh, bands=cfg.simhash_bands)
+            vecs = [H.hashed_ngram_vector(t, dim=cfg.vec_dim, n=cfg.char_ngram) for t in texts]
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"],
+                    "n_turns": pdf["n_turns"].astype("int64"),
+                    "doc_head": [t[:_HEAD_CHARS] for t in texts],
+                    "shingles": [s.view(np.int64).tolist() for s in shingle_sets],
+                    "vec": [v.tolist() for v in vecs],
+                    "minhash_keys": [r.tolist() for r in mh_keys],
+                    "simhash_keys": [r.tolist() for r in sh_keys],
+                }
+            )
+
+    return docs.mapInPandas(gen, schema=_FEATURE_SCHEMA)
+
+
+def block_keys(features: DataFrame) -> DataFrame:
+    """Explode per-conversation band keys → ``(conv_id, modality, key)``.
+
+    Both modalities are kept with provenance so recall can be attributed
+    per-modality in metrics (BLINK reports per-retriever recall the same
+    way, ``blink/candidate_retrieval/evaluator.py:29-90``).
+    """
+    mh = features.select("conv_id", F.lit("minhash").alias("modality"), F.explode("minhash_keys").alias("key"))
+    sh = features.select("conv_id", F.lit("simhash").alias("modality"), F.explode("simhash_keys").alias("key"))
+    return mh.unionByName(sh)
+
+
+def cap_blocks(keys: DataFrame, max_block_size: int) -> tuple[DataFrame, DataFrame]:
+    """Drop blocking keys whose block exceeds the cap (skew guard).
+
+    Returns ``(kept_keys, dropped_key_stats)``; the latter is small and
+    feeds the lineage metrics table. A hot key with B members would emit
+    B² candidate pairs — at 10^12 turns a single boilerplate key could
+    otherwise generate more pairs than the rest of the corpus combined.
+    """
+    sizes = keys.groupBy("modality", "key").agg(F.count(F.lit(1)).alias("block_size"))
+    dropped = sizes.where(F.col("block_size") > max_block_size)
+    kept = keys.join(
+        F.broadcast(dropped.select("modality", "key")),
+        on=["modality", "key"],
+        how="left_anti",
+    )
+    return kept, dropped
+
+
+def candidate_pairs(keys: DataFrame, cfg: BlockingConfig | None = None) -> DataFrame:
+    """Self-equi-join on (modality, key) → canonical deduped candidate pairs.
+
+    ``(least, greatest)`` canonicalization + ``dropDuplicates`` before the
+    expensive stage-2 scorer (predicate/dedup pushdown by construction —
+    the reference equivalently filters gold-missing pairs before its
+    cross-encoder, ``blink/crossencoder/data_process.py:89-112``).
+    """
+    cfg = cfg or BlockingConfig()
+    kept, _ = cap_blocks(keys, cfg.max_block_size)
+    a = kept.select(F.col("modality"), F.col("key"), F.col("conv_id").alias("conv_a"))
+    b = kept.select(F.col("modality"), F.col("key"), F.col("conv_id").alias("conv_b"))
+    pairs = (
+        a.join(b, on=["modality", "key"])
+        .where(F.col("conv_a") < F.col("conv_b"))
+        .select("conv_a", "conv_b")
+        .dropDuplicates(["conv_a", "conv_b"])
+    )
+    return pairs

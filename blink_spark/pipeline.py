@@ -1,0 +1,108 @@
+"""ERPipeline — the end-to-end block → score → cluster orchestrator.
+
+Public API (the engine's equivalent of the reference's
+``main_dense.load_models`` + ``run`` surface, ``blink/main_dense.py:289-586``):
+
+    pipe = ERPipeline(PipelineConfig())
+    result = pipe.run(spark, transcripts_df, checkpoints=mgr)
+    result.assignments   # (conv_id, cluster_id)
+    result.edges         # thresholded match edges with scores
+    result.metrics       # stage counters / lineage
+
+Every stage optionally checkpoints via :class:`CheckpointManager`, so a rerun
+resumes after the last committed stage (north_rule resumability).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blink_spark.checkpoint import CheckpointManager
+from blink_spark.operators import blocking, clustering, scoring
+
+
+@dataclass
+class PipelineConfig:
+    blocking: blocking.BlockingConfig = field(default_factory=blocking.BlockingConfig)
+    scoring: scoring.ScoringConfig = field(default_factory=scoring.ScoringConfig)
+    cc_max_iter: int = 50
+
+
+@dataclass
+class PipelineResult:
+    docs: DataFrame
+    features: DataFrame
+    pairs: DataFrame
+    scored: DataFrame
+    edges: DataFrame
+    assignments: DataFrame
+    metrics: dict
+
+
+class ERPipeline:
+    def __init__(self, config: PipelineConfig | None = None):
+        self.config = config or PipelineConfig()
+
+    # -- stage wrappers (each independently usable) ----------------------
+    def build_docs(self, transcripts: DataFrame) -> DataFrame:
+        return blocking.conversation_docs(transcripts)
+
+    def build_features(self, docs: DataFrame) -> DataFrame:
+        return blocking.compute_features(docs, self.config.blocking)
+
+    def block(self, features: DataFrame) -> DataFrame:
+        keys = blocking.block_keys(features)
+        return blocking.candidate_pairs(keys, self.config.blocking)
+
+    def score(self, pairs: DataFrame, features: DataFrame) -> DataFrame:
+        return scoring.score_pairs(scoring.pair_features(pairs, features), self.config.scoring)
+
+    def cluster(self, edges: DataFrame) -> DataFrame:
+        return clustering.connected_components(edges, max_iter=self.config.cc_max_iter)
+
+    # -- end to end -------------------------------------------------------
+    def run(
+        self,
+        spark: SparkSession,
+        transcripts: DataFrame,
+        checkpoints: CheckpointManager | None = None,
+    ) -> PipelineResult:
+        def ck(name: str, fn, partition_by=None) -> DataFrame:
+            if checkpoints is None:
+                return fn()
+            return checkpoints.stage(name, fn, partition_by=partition_by)
+
+        docs = ck("s0_docs", lambda: self.build_docs(transcripts))
+        features = ck("s1_features", lambda: self.build_features(docs))
+        pairs = ck("s2_pairs", lambda: self.block(features))
+        scored = ck("s3_scored", lambda: self.score(pairs, features))
+        edges = scoring.match_edges(scored, self.config.scoring)
+        assignments = ck("s4_clusters", lambda: self.cluster(edges))
+
+        # singletons (no surviving edge) resolve to themselves
+        all_convs = docs.select("conv_id")
+        full_assignments = (
+            all_convs.join(assignments, "conv_id", "left")
+            .select("conv_id", F.coalesce("cluster_id", F.col("conv_id")).alias("cluster_id"))
+        )
+
+        metrics = {
+            "n_conversations": docs.count(),
+            "n_candidate_pairs": pairs.count(),
+            "n_match_edges": edges.count(),
+        }
+        if checkpoints is not None:
+            metrics["stages_written"] = list(checkpoints.stages_written)
+            metrics["stages_resumed"] = list(checkpoints.stages_resumed)
+        return PipelineResult(
+            docs=docs,
+            features=features,
+            pairs=pairs,
+            scored=scored,
+            edges=edges,
+            assignments=full_assignments,
+            metrics=metrics,
+        )

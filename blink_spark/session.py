@@ -1,0 +1,59 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Single place where shuffle/AQE/Arrow knobs are set so tests, bench, and the
+driver entrypoint all run the same configuration.  Designed for a
+multi-executor cluster (the sandbox runs local[N] as a stand-in):
+
+* AQE on, with skew-join splitting — skewed blocking keys (hot MinHash
+  bands) are the #1 scale hazard in ER (SURVEY.md §7.3).
+* Arrow-batched pandas UDFs with a bounded batch size so the vectorized
+  MinHash kernel's O(perms × shingles) scratch memory stays bounded.
+* shuffle partitions sized for local mode; on a real cluster this is
+  overridden via spark-submit --conf (AQE coalesces the excess anyway).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark(
+    app_name: str = "blink_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's standard config."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # -- adaptive execution: runtime re-plan for skewed blocks ------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # -- shuffle sizing ---------------------------------------------
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.default.parallelism", str(sp))
+        # -- Arrow / pandas UDF hot path --------------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # -- scan sizing: keep partitions executor-memory-safe at scale -
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # -- broadcast threshold: dims (entity catalogs) broadcast ------
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # quieter local runs
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

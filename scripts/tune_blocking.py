@@ -1,0 +1,109 @@
+"""Offline (no-Spark) blocking-recall + scorer sweep across synth seeds.
+
+Simulates stage 1+2 in pure numpy over many seeds to verify the F1 gate is
+robust, not seed-lucky. Run: python scripts/tune_blocking.py [n_seeds]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from blink_spark import synth
+from blink_spark.functions import hashing as H
+from blink_spark.functions import strsim
+from blink_spark.operators.blocking import BlockingConfig, _HEAD_CHARS
+from blink_spark.operators.scoring import ScoringConfig
+
+
+def simulate(seed: int, n_conv: int = 100, bcfg: BlockingConfig | None = None, scfg: ScoringConfig | None = None):
+    bcfg = bcfg or BlockingConfig()
+    scfg = scfg or ScoringConfig()
+    t, labels = synth.generate_pandas(synth.SynthConfig(n_conversations=n_conv, seed=seed))
+    docs = {}
+    nturns = {}
+    for cid, g in t.groupby("conv_id"):
+        g = g.sort_values("turn_idx")
+        docs[cid] = " ␞ ".join(" ".join(x.lower().split()) for x in g.text)
+        nturns[cid] = len(g)
+    cids = sorted(docs)
+    texts = [docs[c] for c in cids]
+    shingle_sets = [H.token_shingles(x.split(), k=bcfg.shingle_k) for x in texts]
+    mh = H.MinHasher(bcfg.num_perm, seed=bcfg.seed)
+    sigs = mh.signatures(shingle_sets)
+    mkeys = mh.band_keys(sigs, bcfg.minhash_bands)
+    sh = H.simhash64([H.char_ngrams_hashed(x, bcfg.char_ngram) for x in texts])
+    skeys = H.simhash_band_keys(sh, bcfg.simhash_bands)
+    keysets = {c: set(mkeys[i].tolist()) | {("s", k) for k in skeys[i].tolist()} for i, c in enumerate(cids)}
+    idx = {c: i for i, c in enumerate(cids)}
+
+    gold = labels[labels.is_match == 1]
+    miss_block, miss_score, scores_pos = [], [], []
+    for a, b in zip(gold.conv_a, gold.conv_b):
+        blocked = bool(keysets[a] & keysets[b])
+        ia, ib = idx[a], idx[b]
+        jac = strsim.jaccard(shingle_sets[ia], shingle_sets[ib])
+        ha, hb = texts[ia][:_HEAD_CHARS], texts[ib][:_HEAD_CHARS]
+        s = (
+            scfg.w_jaccard * jac
+            + scfg.w_lev * strsim.levenshtein_ratio(ha, hb)
+            + scfg.w_jw * strsim.jaro_winkler(ha[:64], hb[:64])
+            + scfg.w_cosine * strsim.cosine(
+                H.hashed_ngram_vector(texts[ia], bcfg.vec_dim), H.hashed_ngram_vector(texts[ib], bcfg.vec_dim)
+            )
+            + scfg.w_turns * min(nturns[a], nturns[b]) / max(nturns[a], nturns[b], 1)
+        )
+        scores_pos.append(s)
+        if not blocked:
+            miss_block.append((a, b, round(jac, 3), round(s, 3)))
+        elif s < scfg.threshold:
+            miss_score.append((a, b, round(jac, 3), round(s, 3)))
+
+    neg = labels[labels.is_match == 0]
+    fp = []
+    for a, b in zip(neg.conv_a, neg.conv_b):
+        if keysets[a] & keysets[b]:
+            ia, ib = idx[a], idx[b]
+            jac = strsim.jaccard(shingle_sets[ia], shingle_sets[ib])
+            ha, hb = texts[ia][:_HEAD_CHARS], texts[ib][:_HEAD_CHARS]
+            s = (
+                scfg.w_jaccard * jac
+                + scfg.w_lev * strsim.levenshtein_ratio(ha, hb)
+                + scfg.w_jw * strsim.jaro_winkler(ha[:64], hb[:64])
+                + scfg.w_cosine * strsim.cosine(
+                    H.hashed_ngram_vector(texts[ia], bcfg.vec_dim), H.hashed_ngram_vector(texts[ib], bcfg.vec_dim)
+                )
+                + scfg.w_turns * min(nturns[a], nturns[b]) / max(nturns[a], nturns[b], 1)
+            )
+            if s >= scfg.threshold:
+                fp.append((a, b, round(s, 3)))
+    return {
+        "seed": seed,
+        "gold": len(gold),
+        "block_miss": miss_block,
+        "score_miss": miss_score,
+        "neg_fp": fp,
+        "min_pos_score": round(min(scores_pos), 3) if scores_pos else None,
+    }
+
+
+if __name__ == "__main__":
+    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    worst = 1.0
+    for seed in range(1, n_seeds + 1):
+        r = simulate(seed)
+        fn = len(r["block_miss"]) + len(r["score_miss"])
+        tp = r["gold"] - fn
+        fp = len(r["neg_fp"])
+        p = tp / (tp + fp) if tp + fp else 1.0
+        rec = tp / r["gold"]
+        f1 = 2 * p * rec / (p + rec)
+        worst = min(worst, f1)
+        print(
+            f"seed={seed:3d} gold={r['gold']:4d} block_miss={len(r['block_miss'])} "
+            f"score_miss={len(r['score_miss'])} fp={fp} minpos={r['min_pos_score']} f1~={f1:.4f}"
+        )
+        for m in (r["block_miss"] + r["score_miss"])[:4]:
+            print("   miss:", m)
+    print("worst f1 ~=", round(worst, 4))

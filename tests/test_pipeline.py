@@ -1,0 +1,92 @@
+"""End-to-end ER pipeline: the F1 ≥ 0.99 gate, invariants, determinism, resume."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from blink_spark import metrics as M
+from blink_spark import synth
+from blink_spark.checkpoint import CheckpointManager
+from blink_spark.pipeline import ERPipeline, PipelineConfig
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synth.transcripts_df(spark, synth.SynthConfig(n_conversations=120, seed=42))
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus):
+    transcripts, _ = corpus
+    return ERPipeline().run(spark, transcripts)
+
+
+def test_pairwise_f1_gate(spark, corpus, result):
+    """BASELINE.json gate: pairwise match F1 ≥ 0.99 on labeled pairs."""
+    _, labels = corpus
+    m = M.pairwise_f1(result.assignments, labels)
+    assert m["f1"] >= 0.99, m
+
+
+def test_blocking_recall_floor(spark, corpus, result):
+    _, labels = corpus
+    br = M.blocking_recall(result.pairs, labels)
+    assert br["blocking_recall"] >= 0.90, br
+
+
+def test_per_turn_text_equality_invariant(spark, corpus):
+    """The pipeline never mutates turn text: re-reading the source under
+    stable (conv_id, turn_idx) ordering yields the original rows exactly."""
+    transcripts, _ = corpus
+    before = transcripts.orderBy("conv_id", "turn_idx").select("conv_id", "turn_idx", "text").collect()
+    ERPipeline().run(spark, transcripts)  # run full pipeline over it
+    after = transcripts.orderBy("conv_id", "turn_idx").select("conv_id", "turn_idx", "text").collect()
+    assert before == after
+
+
+def test_every_conversation_assigned_exactly_once(spark, corpus, result):
+    transcripts, _ = corpus
+    n_convs = transcripts.select("conv_id").distinct().count()
+    assert result.assignments.count() == n_convs
+    assert result.assignments.select("conv_id").distinct().count() == n_convs
+
+
+def test_cluster_id_is_member_min(spark, result):
+    bad = (
+        result.assignments.groupBy("cluster_id")
+        .agg(F.min("conv_id").alias("mn"))
+        .where(F.col("cluster_id") != F.col("mn"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_determinism_across_partitioning(spark, corpus):
+    """Same input at different parallelism → identical clusters (needed for
+    the N vs 4N scaling evidence to double as a correctness check)."""
+    transcripts, _ = corpus
+    small = synth.SynthConfig(n_conversations=60, seed=9)
+    t, _ = synth.transcripts_df(spark, small)
+    a1 = ERPipeline().run(spark, t.repartition(2)).assignments.collect()
+    a2 = ERPipeline().run(spark, t.repartition(13)).assignments.collect()
+    assert sorted(map(tuple, a1)) == sorted(map(tuple, a2))
+
+
+def test_checkpoint_resume(spark, tmp_path, corpus):
+    """Second run reuses every committed stage (north_rule resumability)."""
+    transcripts, labels = corpus
+    mgr1 = CheckpointManager(spark, str(tmp_path), run_id="r1")
+    res1 = ERPipeline().run(spark, transcripts, checkpoints=mgr1)
+    a1 = sorted(map(tuple, res1.assignments.collect()))
+    assert mgr1.stages_written and not mgr1.stages_resumed
+    # lineage sidecars present with per-partition counters
+    lin = mgr1.lineage("s2_pairs")
+    assert lin["rows"] == res1.pairs.count()
+    assert lin["rows"] == sum(p["rows"] for p in lin["partitions"])
+
+    mgr2 = CheckpointManager(spark, str(tmp_path), run_id="r1")
+    res2 = ERPipeline().run(spark, transcripts, checkpoints=mgr2)
+    assert not mgr2.stages_written and mgr2.stages_resumed
+    a2 = sorted(map(tuple, res2.assignments.collect()))
+    assert a1 == a2
+    m = M.pairwise_f1(res2.assignments, labels)
+    assert m["f1"] >= 0.99
