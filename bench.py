@@ -1,0 +1,201 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "e2e_wall_sec", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "throughput": {"er_turns_per_sec": ...}}
+
+Modes:
+  python bench.py             # standard per-round bench
+  python bench.py --scaling   # run the ER job at local[8] and local[32]
+                              # (sandbox stand-in for N vs 4N executors),
+                              # print scaling JSON and rewrite BENCH/BASELINE.md
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _prepare_transcripts(spark, sf_dir: str) -> tuple[str, int]:
+    """Synthesize the sf-scaled transcript corpus to parquet (untimed input
+    prep — the production input is an Iceberg/parquet table, not an
+    in-driver generator). Cached per (sf, seed) under /tmp."""
+    from blink_spark import synth
+
+    cfg = synth.scale_config(synth.sf_from_dir(sf_dir))
+    path = f"/tmp/blink_bench_transcripts_sf{synth.sf_from_dir(sf_dir)}_seed{cfg.seed}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        t, _ = synth.transcripts_df(spark, cfg)
+        t.repartition(max(CPUS, 8)).write.mode("overwrite").parquet(path)
+    n_turns = spark.read.parquet(path).count()
+    return path, n_turns
+
+
+def _er_query(spark, transcripts_path: str) -> int:
+    """The flagship ER pipeline: parquet scan → block → score → cluster."""
+    from blink_spark.pipeline import ERPipeline
+
+    t = spark.read.parquet(transcripts_path)
+    res = ERPipeline().run(spark, t)
+    return res.assignments.count()
+
+
+def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
+    """Run headline queries; returns (per-query seconds, extra info)."""
+    from pyspark.sql import functions as F
+
+    from blink_spark import queries as Q
+    from blink_spark.operators import dedup, similarity
+
+    timings: dict[str, float] = {}
+    extra: dict = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # 1. flagship ER pipeline (throughput metric: turns/sec)
+    tpath, n_turns = _prepare_transcripts(spark, sf_dir)
+    timed("er_pipeline", lambda: _er_query(spark, tpath))
+    extra["er_turns"] = n_turns
+    extra["er_turns_per_sec"] = round(n_turns / timings["er_pipeline"], 1)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    # 2. MinHash near-dup clustering over documents
+    timed("minhash_dedup", lambda: dedup.minhash_dedup_clusters(docs, jaccard_threshold=0.5).count())
+    # 3. ANN top-k over embeddings (LSH path — the scale path)
+    timed("ann_lsh_topk", lambda: similarity.lsh_topk_neighbors(emb, k=5, n_planes=6, n_tables=8).count())
+    # 4. token-blocking join (BM25-retrieval analog)
+    timed("token_blocking_join", lambda: Q.j4_token_blocking_join(spark, sf_dir).count())
+    # 5. shuffle-heavy agg + window sweep over the largest table
+    def lineitem_sweep():
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        a = (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.avg("l_extendedprice").alias("avg_price"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .count()
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("l_orderkey").orderBy(F.desc("l_extendedprice"))
+        b = li.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).count()
+        return a + b
+
+    timed("lineitem_agg_window", lineitem_sweep)
+    return timings, extra
+
+
+def run_bench(master: str | None = None, sf_dir: str = SF_DIR) -> dict:
+    from blink_spark.session import get_spark
+
+    spark = get_spark("bench", master=master or f"local[{CPUS}]")
+    t0 = time.time()
+    timings, extra = _bench_queries(spark, sf_dir)
+    total = round(time.time() - t0, 3)
+    sf = float(sf_dir.rstrip("/").rsplit("/", 1)[-1].removeprefix("sf"))
+    return {
+        "metric": "e2e_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": CPUS,
+        "throughput": {"er_turns_per_sec": extra["er_turns_per_sec"], "er_turns": extra["er_turns"]},
+    }
+
+
+def run_scaling(sf_dir: str = SF_DIR) -> dict:
+    """Same input at local[8] vs local[32] in fresh JVMs → scaling efficiency.
+
+    Efficiency = (T_8 / T_32) / 4 — the in-sandbox stand-in for the
+    north_rule's N vs 4N executor criterion (see BASELINE.md).
+    """
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, __file__, "--single"], env=env, capture_output=True, text=True, cwd=REPO
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t8 = results[8]["queries"]["er_pipeline"]
+    t32 = results[32]["queries"]["er_pipeline"]
+    tp8 = results[8]["throughput"]["er_turns_per_sec"]
+    tp32 = results[32]["throughput"]["er_turns_per_sec"]
+    eff = round((tp32 / tp8) / 4.0, 3)
+    scaling = {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": eff,
+        "unit": "ratio",
+        "sf": results[8]["sf"],
+        "er_wall_sec": {"local[8]": t8, "local[32]": t32},
+        "er_turns_per_sec": {"local[8]": tp8, "local[32]": tp32},
+        "full": results,
+    }
+    _write_bench_md(scaling)
+    return scaling
+
+
+def _write_bench_md(s: dict) -> None:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    r8, r32 = s["full"][8], s["full"][32]
+    lines = [
+        "# BENCH — measured throughput & scaling (sandbox)",
+        "",
+        f"Input: deterministic synthetic transcript corpus at sf={s['sf']}"
+        f" ({r8['throughput']['er_turns']} turns), identical at both parallelism levels.",
+        "",
+        "north_rule asks for throughput scaling efficiency ≥ 0.8 between N and",
+        "4N *executors*; no real cluster exists in this sandbox, so per the",
+        "driver instruction the same job runs at two parallelism levels",
+        "(local[8] vs local[32], fresh JVM each) on the same input.",
+        "",
+        "| config | ER e2e wall (s) | turns/sec |",
+        "|---|---|---|",
+        f"| local[8]  (N)  | {s['er_wall_sec']['local[8]']} | {s['er_turns_per_sec']['local[8]']} |",
+        f"| local[32] (4N) | {s['er_wall_sec']['local[32]']} | {s['er_turns_per_sec']['local[32]']} |",
+        "",
+        f"**Scaling efficiency (throughput ratio / 4): {s['value']}**",
+        "",
+        "Caveats: a single host shares memory bandwidth and the driver JVM",
+        "across 'executors', and Spark's fixed per-stage scheduling overhead",
+        "is amortized over a corpus far smaller than production; both bias",
+        "measured efficiency DOWN vs a real 4N-executor cluster where the",
+        "shuffle-partitioned stages (band-key join, pair scoring, CC rounds)",
+        "parallelize across machines.",
+        "",
+        "## Full per-query timings",
+        "",
+        "| query | local[8] s | local[32] s |",
+        "|---|---|---|",
+    ]
+    for qname in r8["queries"]:
+        lines.append(f"| {qname} | {r8['queries'][qname]} | {r32['queries'][qname]} |")
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

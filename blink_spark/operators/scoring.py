@@ -79,15 +79,34 @@ def pair_features(pairs: DataFrame, features: DataFrame) -> DataFrame:
 
 
 def score_pairs(pairs_with_features: DataFrame, cfg: ScoringConfig | None = None) -> DataFrame:
-    """Vectorized pair scorer → per-feature columns + blended ``score``."""
+    """Vectorized pair scorer → per-feature columns + blended ``score``.
+
+    Two-tier evaluation (decision-equivalent to the full blend at the
+    configured threshold — the within-stage-2 echo of BLINK's cheap-retrieve
+    / expensive-rank split):
+
+    * cheap features first (Jaccard over precomputed shingle sets, cosine
+      over precomputed vectors, turn agreement) → ``core`` score;
+    * the expensive edit-distance features (Levenshtein ratio over 512-char
+      heads, Jaro-Winkler) run ONLY when the cheap features cannot decide
+      the thresholded outcome on their own:
+        full_blend ≥ w_core·core           (lev = jw = 0 lower bound)
+        full_blend ≤ w_core·core + w_exp   (lev = jw = 1 upper bound)
+      so core ≥ τ/w_core accepts and core < (τ−w_exp)/w_core rejects
+      without computing them. Gated rows report NaN for lev/jw and a
+      decision-safe score bound. Gating depends only on the pair's own
+      features — deterministic at any parallelism.
+    """
     cfg = cfg or ScoringConfig()
+    w_exp = cfg.w_lev + cfg.w_jw
+    w_core_total = cfg.w_jaccard + cfg.w_cosine + cfg.w_turns
+    hi_core = cfg.threshold / w_core_total                 # accept without lev/jw
+    lo_core = (cfg.threshold - w_exp) / w_core_total       # reject without lev/jw
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
             jac = np.empty(n)
-            lev = np.empty(n)
-            jw = np.empty(n)
             cos = np.empty(n)
             ta = pdf["turns_a"].to_numpy(dtype=np.float64)
             tb = pdf["turns_b"].to_numpy(dtype=np.float64)
@@ -96,18 +115,25 @@ def score_pairs(pairs_with_features: DataFrame, cfg: ScoringConfig | None = None
                 sa = np.asarray(pdf["shingles_a"].iat[i], dtype=np.int64).view(np.uint64)
                 sb = np.asarray(pdf["shingles_b"].iat[i], dtype=np.int64).view(np.uint64)
                 jac[i] = strsim.jaccard(sa, sb)
-                ha, hb = pdf["head_a"].iat[i] or "", pdf["head_b"].iat[i] or ""
-                lev[i] = strsim.levenshtein_ratio(ha, hb)
-                jw[i] = strsim.jaro_winkler(ha[:64], hb[:64])
                 va = np.asarray(pdf["vec_a"].iat[i], dtype=np.float32)
                 vb = np.asarray(pdf["vec_b"].iat[i], dtype=np.float32)
                 cos[i] = strsim.cosine(va, vb)
-            score = (
-                cfg.w_jaccard * jac
-                + cfg.w_lev * lev
-                + cfg.w_jw * jw
-                + cfg.w_cosine * cos
-                + cfg.w_turns * turn_agree
+            core = cfg.w_jaccard * jac + cfg.w_cosine * cos + cfg.w_turns * turn_agree
+            core_n = core / w_core_total
+            need_exp = (core_n >= lo_core) & (core_n < hi_core)
+
+            lev = np.full(n, np.nan)
+            jw = np.full(n, np.nan)
+            for i in np.nonzero(need_exp)[0]:
+                ha, hb = pdf["head_a"].iat[i] or "", pdf["head_b"].iat[i] or ""
+                lev[i] = strsim.levenshtein_ratio(ha, hb)
+                jw[i] = strsim.jaro_winkler(ha[:64], hb[:64])
+
+            score = np.where(
+                need_exp,
+                core + cfg.w_lev * np.nan_to_num(lev) + cfg.w_jw * np.nan_to_num(jw),
+                # decision-safe bounds: accepted rows ≥ τ, rejected rows < τ
+                np.where(core_n >= hi_core, core + w_exp, core),
             )
             yield pd.DataFrame(
                 {

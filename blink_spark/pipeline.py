@@ -72,7 +72,11 @@ class ERPipeline:
     ) -> PipelineResult:
         def ck(name: str, fn, partition_by=None) -> DataFrame:
             if checkpoints is None:
-                return fn()
+                # no durable checkpoint requested: persist in-memory so each
+                # stage is computed once, not re-derived per downstream action
+                # (the reference equivalently caches entity encodings,
+                # eval_biencoder.py:229-253)
+                return fn().persist()
             return checkpoints.stage(name, fn, partition_by=partition_by)
 
         docs = ck("s0_docs", lambda: self.build_docs(transcripts))

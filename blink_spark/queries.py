@@ -1,0 +1,756 @@
+"""Operator parity registry: SURVEY.md §2 operators as (spark query, DuckDB oracle) pairs.
+
+Each entry is one implemented operator family from the survey, expressed as
+an idiomatic DataFrame query over the driver's sf-scaled parquet tables plus
+an equivalent ANSI-SQL string for the DuckDB oracle (views pre-registered:
+region nation customer supplier part orders lineitem events documents
+embeddings). Computed columns are aliased identically on both sides; doubles
+are rounded to fixed precision before comparison.
+
+Non-SQL-expressible operators (MinHash/SimHash kernels, the ER pipeline,
+LSH buckets, multimodal UDFs) register a query with ``oracle=None`` —
+the driver records a rows-only check for those; their real verification is
+tests/ (kernel unit tests + union-find / brute-force oracles).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from blink_spark.functions.text import canonicalize, token_ngrams, tokens, word_window
+from blink_spark.operators import dedup, multimodal, similarity, textstats
+
+_CANON_SQL = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
+_TOKENS_SQL = f"string_split({_CANON_SQL.format(c='text')}, ' ')"
+_GRAMS_SQL = (
+    "list_distinct(CASE WHEN len(t) >= 3 THEN "
+    "list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) "
+    "ELSE [array_to_string(t, ' ')] END)"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# each value: (fn(spark, sf_dir) -> DataFrame, oracle_sql | None)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Scans / projections / filters (SURVEY §2.1–2.2)
+# ---------------------------------------------------------------------------
+
+@q(
+    "s1_catalog_scan",
+    """SELECT CAST(regexp_extract(source, 'src(\\d+)', 1) AS BIGINT) AS src_id,
+              COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+       FROM documents GROUP BY 1""",
+)
+def s1_catalog_scan(spark, sf_dir):
+    """S1: JSONL catalog scan + id extraction (`blink/main_dense.py:99-151`) →
+    regexp_extract + cast + agg."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(F.regexp_extract("source", r"src(\d+)", 1).cast("long").alias("src_id"), "n_chars")
+        .groupBy("src_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@q(
+    "p1_normalize",
+    f"SELECT doc_id, {_CANON_SQL.format(c='text')} AS canon_text FROM documents",
+)
+def p1_normalize(spark, sf_dir):
+    """P1: lowercase-everything normalization (`blink/main_dense.py:84-94`)."""
+    return _t(spark, sf_dir, "documents").select("doc_id", canonicalize(F.col("text")).alias("canon_text"))
+
+
+@q(
+    "p3_min_token_filter",
+    f"""SELECT doc_id, n_tokens FROM (
+          SELECT doc_id,
+                 CASE WHEN length({_CANON_SQL.format(c='text')}) = 0 THEN 0
+                      ELSE len({_TOKENS_SQL}) END AS n_tokens
+          FROM documents) WHERE n_tokens >= 60""",
+)
+def p3_min_token_filter(spark, sf_dir):
+    """P3: min-token filter (`data_ingestion.py:119-127`)."""
+    return (
+        textstats.token_stats(_t(spark, sf_dir, "documents"))
+        .where(F.col("n_tokens") >= 60)
+        .select("doc_id", "n_tokens")
+    )
+
+
+@q(
+    "p4_keyword_filter",
+    """SELECT doc_id, lang FROM documents
+       WHERE lower(text) NOT LIKE '%window%' AND lang <> 'en'""",
+)
+def p4_keyword_filter(spark, sf_dir):
+    """P4: disambiguation-page-style keyword/field filter (`data_ingestion.py:131-155`)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.where(~F.lower("text").contains("window") & (F.col("lang") != "en")).select("doc_id", "lang")
+
+
+@q(
+    "p8_context_window",
+    f"""SELECT doc_id,
+              array_to_string(t[-5:], ' ') || ' ' || array_to_string(t[1:5], ' ') AS ctx
+       FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)""",
+)
+def p8_context_window(spark, sf_dir):
+    """P8: last-k/first-k word context truncation (`candidate_retrieval/utils.py:198-208`)."""
+    return _t(spark, sf_dir, "documents").select("doc_id", word_window(F.col("text"), 5, 5).alias("ctx"))
+
+
+@q(
+    "p9_lag_lead",
+    """SELECT event_id,
+              lag(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+              lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+       FROM events""",
+)
+def p9_lag_lead(spark, sf_dir):
+    """P9/W5: prev/next context via lag/lead (`candidate_retrieval/utils.py:221-250`)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+@q(
+    "j1_broadcast_dim_join",
+    """SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS n_orders,
+              ROUND(SUM(o.o_totalprice), 2) AS total
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       GROUP BY 1""",
+)
+def j1_broadcast_dim_join(spark, sf_dir):
+    """J1: broadcast hash join to a dimension (`blink/main_dense.py:154-170`)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@q(
+    "j6_fallback_join",
+    """SELECT c.c_custkey AS custkey, COALESCE(n.n_name, r.r_name) AS resolved_name
+       FROM customer c
+       LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey AND n.n_nationkey < 20
+       LEFT JOIN region r ON (c.c_nationkey % 5) = r.r_regionkey""",
+)
+def j6_fallback_join(spark, sf_dir):
+    """J6: two-key fallback join with coalesce (`link_wikipedia_and_wikidata.py:76-114`)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(n, (c.c_nationkey == n.n_nationkey) & (n.n_nationkey < 20), "left")
+        .join(r, (c.c_nationkey % 5) == r.r_regionkey, "left")
+        .select(F.col("c_custkey").alias("custkey"), F.coalesce("n_name", "r_name").alias("resolved_name"))
+    )
+
+
+@q(
+    "j8_link_count_join",
+    """SELECT c.c_custkey AS custkey, c.c_name AS name, e.n_events
+       FROM (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id) e
+       JOIN customer c ON c.c_custkey = e.user_id""",
+)
+def j8_link_count_join(spark, sf_dir):
+    """J8: link-count aggregation join (`enrich_data.py:79-140`)."""
+    e = _t(spark, sf_dir, "events").groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    c = _t(spark, sf_dir, "customer")
+    return e.join(c, e.user_id == c.c_custkey).select(
+        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"), "n_events"
+    )
+
+
+@q(
+    "j4_token_blocking_join",
+    f"""WITH g AS (
+          SELECT doc_id, unnest(grams) AS gram FROM (
+            SELECT doc_id, {_GRAMS_SQL} AS grams
+            FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)))
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+       FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       GROUP BY 1, 2 HAVING COUNT(*) >= 5""",
+)
+def j4_token_blocking_join(spark, sf_dir):
+    """J4: token-blocking equi-join, the BM25-retrieval analog
+    (`blink/candidate_generation.py:68-115`): explode shingles ⋈ shingles,
+    count shared keys per pair."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.select("doc_id", F.explode(F.array_distinct(token_ngrams(F.col("text"), 3))).alias("gram"))
+    a = g.select(F.col("doc_id").alias("doc_a"), "gram")
+    b = g.select(F.col("doc_id").alias("doc_b"), "gram")
+    return (
+        a.join(b, "gram")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= 5)
+    )
+
+
+@q(
+    "j10_array_position",
+    f"""SELECT doc_id, CAST(COALESCE(list_position({_TOKENS_SQL}, 'spark'), 0) AS BIGINT) AS gold_pos
+       FROM documents""",
+)
+def j10_array_position(spark, sf_dir):
+    """J10: gold-position-in-candidates scan (`crossencoder/data_process.py:59-63`)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_position(tokens(F.col("text")), "spark").alias("gold_pos")
+    )
+
+
+@q(
+    "j12_interval_overlap_join",
+    """SELECT a.event_id AS a_id, b.event_id AS b_id
+       FROM events a JOIN events b
+         ON a.user_id = b.user_id
+        AND a.event_type = 'click' AND b.event_type = 'view'
+        AND a.value < b.value + 10 AND b.value < a.value + 10""",
+)
+def j12_interval_overlap_join(spark, sf_dir):
+    """J12: weak-match interval-overlap join (`elq/vcg_utils/measures.py:9-88`)."""
+    e = _t(spark, sf_dir, "events")
+    a = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("a_id"), F.col("user_id").alias("u"), F.col("value").alias("va")
+    )
+    b = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("b_id"), F.col("user_id").alias("u"), F.col("value").alias("vb")
+    )
+    return (
+        a.join(b, "u")
+        .where((F.col("va") < F.col("vb") + 10) & (F.col("vb") < F.col("va") + 10))
+        .select("a_id", "b_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+_GOLD_POS_SQL = f"SELECT CAST(COALESCE(list_position({_TOKENS_SQL}, 'spark'), 0) AS BIGINT) AS pos FROM documents"
+
+
+@q(
+    "a1_recall_at_k",
+    f"""SELECT ROUND(AVG(CASE WHEN pos BETWEEN 1 AND 1  THEN 1.0 ELSE 0.0 END), 4) AS r_at_1,
+              ROUND(AVG(CASE WHEN pos BETWEEN 1 AND 5  THEN 1.0 ELSE 0.0 END), 4) AS r_at_5,
+              ROUND(AVG(CASE WHEN pos BETWEEN 1 AND 20 THEN 1.0 ELSE 0.0 END), 4) AS r_at_20
+       FROM ({_GOLD_POS_SQL})""",
+)
+def a1_recall_at_k(spark, sf_dir):
+    """A1: recall@k curve (`blink/main_dense.py:459-477`)."""
+    pos = _t(spark, sf_dir, "documents").select(
+        F.array_position(tokens(F.col("text")), "spark").alias("pos")
+    )
+    hit = lambda k: F.round(F.avg(F.when(F.col("pos").between(1, k), 1.0).otherwise(0.0)), 4)
+    return pos.agg(hit(1).alias("r_at_1"), hit(5).alias("r_at_5"), hit(20).alias("r_at_20"))
+
+
+@q(
+    "a6_rollup_by_group",
+    """SELECT COALESCE(lang, 'ALL') AS lang, COUNT(*) AS n_docs,
+              ROUND(AVG(n_chars), 2) AS avg_chars
+       FROM documents GROUP BY ROLLUP(lang)""",
+)
+def a6_rollup_by_group(spark, sf_dir):
+    """A6: per-dataset recall rollup with overall row (`evaluator.py:29-90`)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .rollup("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("n_chars"), 2).alias("avg_chars"))
+        .select(F.coalesce("lang", F.lit("ALL")).alias("lang"), "n_docs", "avg_chars")
+    )
+
+
+@q(
+    "a7_cumulative_histogram",
+    """SELECT event_type, n, SUM(n) OVER (ORDER BY event_type) AS cum
+       FROM (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1)""",
+)
+def a7_cumulative_histogram(spark, sf_dir):
+    """A7: cumulative recall-by-rank (`evaluator.py:92-124`)."""
+    h = _t(spark, sf_dir, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return h.select("event_type", "n", F.sum("n").over(Window.orderBy("event_type")).alias("cum"))
+
+
+@q(
+    "a8_prf1",
+    """SELECT tp, fp, fn,
+              ROUND(tp / NULLIF(tp + fp, 0), 4) AS precision,
+              ROUND(tp / NULLIF(tp + fn, 0), 4) AS recall,
+              ROUND(2.0 * tp / NULLIF(2.0 * tp + fp + fn, 0), 4) AS f1
+       FROM (SELECT
+               CAST(SUM(CASE WHEN value > 50 AND event_id % 3 = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS tp,
+               CAST(SUM(CASE WHEN value > 50 AND event_id % 3 <> 0 THEN 1 ELSE 0 END) AS DOUBLE) AS fp,
+               CAST(SUM(CASE WHEN value <= 50 AND event_id % 3 = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS fn
+             FROM events)""",
+)
+def a8_prf1(spark, sf_dir):
+    """A8: micro P/R/F1 (`elq/main_dense.py:591-602`) — the pairwise-F1 gate shape."""
+    e = _t(spark, sf_dir, "events")
+    pred = F.col("value") > 50
+    gold = F.col("event_id") % 3 == 0
+    agg = e.agg(
+        F.sum(F.when(pred & gold, 1).otherwise(0)).cast("double").alias("tp"),
+        F.sum(F.when(pred & ~gold, 1).otherwise(0)).cast("double").alias("fp"),
+        F.sum(F.when(~pred & gold, 1).otherwise(0)).cast("double").alias("fn"),
+    )
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        F.round(F.col("tp") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)), 4).alias("precision"),
+        F.round(F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)), 4).alias("recall"),
+        F.round(2 * F.col("tp") / F.nullif(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(0)), 4).alias("f1"),
+    )
+
+
+@q(
+    "a9_macro_micro",
+    """SELECT (SELECT ROUND(AVG(a), 4) FROM
+                (SELECT AVG(value) AS a FROM events GROUP BY event_type)) AS macro_avg,
+              (SELECT ROUND(AVG(value), 4) FROM events) AS micro_avg""",
+)
+def a9_macro_micro(spark, sf_dir):
+    """A9: macro-vs-micro two-level aggregation (`train_cross.py:159-169`)."""
+    e = _t(spark, sf_dir, "events")
+    macro = (
+        e.groupBy("event_type").agg(F.avg("value").alias("a")).agg(F.round(F.avg("a"), 4).alias("macro_avg"))
+    )
+    micro = e.agg(F.round(F.avg("value"), 4).alias("micro_avg"))
+    return macro.crossJoin(micro)
+
+
+@q(
+    "a10_mrr",
+    f"""SELECT ROUND(AVG(1.0 / pos), 6) AS mrr FROM ({_GOLD_POS_SQL}) WHERE pos > 0""",
+)
+def a10_mrr(spark, sf_dir):
+    """A10: mean reciprocal rank (`train_cross.py:336,378`)."""
+    pos = _t(spark, sf_dir, "documents").select(
+        F.array_position(tokens(F.col("text")), "spark").alias("pos")
+    )
+    return pos.where(F.col("pos") > 0).agg(F.round(F.avg(F.lit(1.0) / F.col("pos")), 6).alias("mrr"))
+
+
+@q(
+    "a12_dedup_stats",
+    f"""SELECT COUNT(*) AS n_docs,
+              COUNT(DISTINCT md5({_CANON_SQL.format(c='text')})) AS n_distinct
+       FROM documents""",
+)
+def a12_dedup_stats(spark, sf_dir):
+    """A12: dedup-by-key uniqueness check (`blink/main_dense.py:137`)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(canonicalize(F.col("text")))).alias("n_distinct"),
+    )
+
+
+@q(
+    "a13_group_collect",
+    """SELECT user_id, array_to_string(list_sort(list(event_type)), ',') AS types
+       FROM events GROUP BY user_id""",
+)
+def a13_group_collect(spark, sf_dir):
+    """A13: group-collect per key (`blink/utils.py:84-100`) — sorted for determinism."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.concat_ws(",", F.array_sort(F.collect_list("event_type"))).alias("types"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / top-k / set ops (SURVEY §2.5–2.7)
+# ---------------------------------------------------------------------------
+
+@q(
+    "w1_topk_per_group",
+    """SELECT event_type, event_id, value, rn FROM (
+         SELECT event_type, event_id, value,
+                row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+         FROM events) WHERE rn <= 3""",
+)
+def w1_topk_per_group(spark, sf_dir):
+    """W1: top-k per query (`blink/main_dense.py:253`) — window row_number ≤ k."""
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_type", "event_id", "value", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+    )
+
+
+@q(
+    "w2_rank_argsort",
+    """SELECT o_orderpriority AS priority, o_orderkey AS orderkey, rn FROM (
+         SELECT o_orderpriority, o_orderkey,
+                row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders) WHERE rn <= 5""",
+)
+def w2_rank_argsort(spark, sf_dir):
+    """W2: full argsort of scores (`blink/main_dense.py:282,541-560`) pruned to top-5."""
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 5)
+    )
+
+
+@q(
+    "w8_best_epoch",
+    """SELECT o_custkey AS custkey, o_orderkey AS orderkey FROM (
+         SELECT o_custkey, o_orderkey,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+         FROM orders) WHERE rn = 1""",
+)
+def w8_best_epoch(spark, sf_dir):
+    """W8: best-epoch/running-argmax selection (`train_biencoder.py:278-282`)."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("custkey"), F.col("o_orderkey").alias("orderkey"), F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@q(
+    "so1_union",
+    """SELECT doc_id FROM documents WHERE lang = 'en'
+       UNION
+       SELECT doc_id FROM documents WHERE n_chars > 400""",
+)
+def so1_union(spark, sf_dir):
+    """SO1: union of result sets (`perform_and_evaluate...py:115-117`)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.where(F.col("lang") == "en").select("doc_id")
+        .union(d.where(F.col("n_chars") > 400).select("doc_id"))
+        .distinct()
+    )
+
+
+@q(
+    "so3_except_anti",
+    """SELECT c_custkey FROM customer
+       EXCEPT
+       SELECT o_custkey FROM orders""",
+)
+def so3_except_anti(spark, sf_dir):
+    """SO3: except / anti-join removal (`data_ingestion.py:136-152`)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.select("c_custkey").join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti").distinct()
+
+
+@q(
+    "so4_semi_membership",
+    """SELECT event_id, user_id FROM events
+       WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)""",
+)
+def so4_semi_membership(spark, sf_dir):
+    """SO4: set-membership semi join (`dataset.py:145-157`)."""
+    e = _t(spark, sf_dir, "events")
+    rich = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("user_id")
+    )
+    return e.join(rich, "user_id", "left_semi").select("event_id", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# Scalar function bundles (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+@q(
+    "f_string_bundle",
+    f"""SELECT doc_id,
+              upper(substring(c, 1, 12)) AS head_upper,
+              t[3] AS tok3,
+              length(regexp_replace(c, '[aeiou]', '', 'g')) AS n_consonant_chars,
+              lang || '|' || source AS tag
+       FROM (SELECT doc_id, lang, source, {_CANON_SQL.format(c='text')} AS c,
+                    {_TOKENS_SQL} AS t FROM documents)""",
+)
+def f_string_bundle(spark, sf_dir):
+    """§2.8 string family: lower/substr/split/regexp_replace/concat."""
+    d = _t(spark, sf_dir, "documents")
+    c = canonicalize(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.upper(F.substring(c, 1, 12)).alias("head_upper"),
+        F.element_at(tokens(F.col("text")), 3).alias("tok3"),
+        F.length(F.regexp_replace(c, "[aeiou]", "")).alias("n_consonant_chars"),
+        F.concat_ws("|", "lang", "source").alias("tag"),
+    )
+
+
+@q(
+    "f_math_bundle",
+    """SELECT l_orderkey, l_linenumber,
+              ROUND(ln(1 + l_quantity), 4) AS log_qty,
+              ROUND(sqrt(l_extendedprice), 4) AS sqrt_price,
+              CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct
+       FROM lineitem""",
+)
+def f_math_bundle(spark, sf_dir):
+    """§2.8 math family: log1p/sqrt/floor (`main_solr.py:140-142` boost analog)."""
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.log1p("l_quantity"), 4).alias("log_qty"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("sqrt_price"),
+        F.floor(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
+    )
+
+
+@q(
+    "f_json_bundle",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+       FROM events""",
+)
+def f_json_bundle(spark, sf_dir):
+    """§2.8 json family: per-row JSON field extraction (`process_wikidata.py:56-86`)."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / text-analysis / similarity (training-data pipeline operators)
+# ---------------------------------------------------------------------------
+
+@q(
+    "dedup_exact",
+    f"""WITH k AS (SELECT doc_id, md5({_CANON_SQL.format(c='text')}) AS k FROM documents),
+         g AS (SELECT k, MIN(doc_id) AS canon_id, COUNT(*) AS group_size FROM k GROUP BY k)
+       SELECT doc_id, canon_id, group_size FROM k JOIN g USING (k)""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup by canonical-text hash."""
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "dedup_ngram_jaccard",
+    f"""WITH g AS (SELECT doc_id, source, {_GRAMS_SQL} AS g
+                  FROM (SELECT doc_id, source, {_TOKENS_SQL} AS t FROM documents))
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              ROUND(CASE WHEN len(list_distinct(a.g || b.g)) = 0 THEN 1.0
+                         ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                              / len(list_distinct(a.g || b.g)) END, 4) AS jaccard
+       FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """N-gram Jaccard similarity over source-blocked candidate pairs."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("s"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("s"))
+    pairs = a.join(b, "s").where(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+    j = dedup.ngram_jaccard_pairs(d, pairs, threshold=-1.0)
+    return j.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@q("dedup_simhash_pairs", None)  # kernel is numpy; verified in tests vs hamming oracle
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash banded near-dup pairs (rows-only driver check; exact Hamming
+    verified JVM-side via bit_count, kernel tested in tests/test_hashing.py)."""
+    return dedup.simhash_dedup_pairs(_t(spark, sf_dir, "documents"), max_hamming=10)
+
+
+@q("dedup_minhash_clusters", None)  # MinHash kernel + CC; verified in tests
+def dedup_minhash_clusters(spark, sf_dir):
+    """MinHash-LSH near-dup clusters over documents (rows-only driver check)."""
+    return dedup.minhash_dedup_clusters(_t(spark, sf_dir, "documents"), jaccard_threshold=0.5)
+
+
+@q(
+    "text_token_stats",
+    f"""SELECT doc_id,
+              CASE WHEN length(c) = 0 THEN 0 ELSE len(string_split(c, ' ')) END AS n_tokens,
+              length(c) AS n_chars
+       FROM (SELECT doc_id, {_CANON_SQL.format(c='text')} AS c FROM documents)""",
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting (S8 analog: `process_wiki_extractor_output_full.py:52-94`)."""
+    return textstats.token_stats(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "text_quality",
+    f"""SELECT doc_id,
+              n_tokens,
+              ROUND(punct_ratio, 4) AS punct_ratio,
+              ROUND(stopword_ratio, 4) AS stopword_ratio,
+              ROUND(alpha_ratio, 4) AS alpha_ratio,
+              ROUND(mean_word_len, 4) AS mean_word_len,
+              ROUND(0.35 * (1.0 - punct_ratio)
+                    + 0.25 * least(stopword_ratio * 4.0, 1.0)
+                    + 0.2 * alpha_ratio
+                    + 0.2 * least(n_tokens / 100.0, 1.0), 4) AS quality
+       FROM (
+         SELECT doc_id, n_tokens,
+                CASE WHEN n_chars = 0 THEN 0.0
+                     ELSE CAST(n_chars - length(regexp_replace(c, '[^\\w\\s]', '', 'g')) AS DOUBLE) / n_chars END AS punct_ratio,
+                CASE WHEN n_tokens = 0 THEN 0.0
+                     ELSE CAST(len(list_filter(t, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE) / n_tokens END AS stopword_ratio,
+                CASE WHEN n_chars = 0 THEN 0.0
+                     ELSE CAST(length(regexp_replace(c, '[^a-z]', '', 'g')) AS DOUBLE) / n_chars END AS alpha_ratio,
+                CASE WHEN n_tokens = 0 THEN 0.0
+                     ELSE CAST(length(regexp_replace(c, '\\s', '', 'g')) AS DOUBLE) / n_tokens END AS mean_word_len
+         FROM (SELECT doc_id, c, length(c) AS n_chars,
+                      CASE WHEN length(c) = 0 THEN 0 ELSE len(string_split(c, ' ')) END AS n_tokens,
+                      string_split(c, ' ') AS t
+               FROM (SELECT doc_id, {_CANON_SQL.format(c='text')} AS c FROM documents)))""",
+)
+def text_quality(spark, sf_dir):
+    """Document quality scoring: length/punct/stopword/alpha signals."""
+    return textstats.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "text_langid",
+    f"""SELECT doc_id,
+              CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                   WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+                   WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                   WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                   ELSE 'de' END AS lang_pred
+       FROM (
+         SELECT doc_id,
+                len(list_filter(t, x -> x IN ('der','die','und','das','ist'))) AS h_de,
+                len(list_filter(t, x -> x IN ('the','and','of','to','is')))    AS h_en,
+                len(list_filter(t, x -> x IN ('el','la','de','que','los')))    AS h_es,
+                len(list_filter(t, x -> x IN ('le','la','les','des','est')))   AS h_fr
+         FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents))""",
+)
+def text_langid(spark, sf_dir):
+    """Heuristic marker-word language ID (ties broken toward lexicographically
+    larger language code, mirroring the struct-max in functions/text.py)."""
+    return textstats.language_id(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "text_fingerprint",
+    f"SELECT doc_id, md5({_CANON_SQL.format(c='text')}) AS fp_md5 FROM documents",
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprinting (md5 leg; the xxhash64 leg has no DuckDB
+    equivalent and is covered by tests)."""
+    return textstats.fingerprints(_t(spark, sf_dir, "documents")).select("doc_id", "fp_md5")
+
+
+@q(
+    "sim_bruteforce_topk",
+    """SELECT query_id, nbr_id, ROUND(cosine, 4) AS cosine, rank FROM (
+         SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+                list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])) AS cosine,
+                row_number() OVER (PARTITION BY a.vec_id
+                                   ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                                   CAST(b.embedding AS DOUBLE[])) DESC,
+                                            b.vec_id) AS rank
+         FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+       WHERE rank <= 3""",
+)
+def sim_bruteforce_topk(spark, sf_dir):
+    """Exact cosine top-k neighbor join (J2 analog: `biencoder.py:148-177`)."""
+    out = similarity.brute_force_topk(_t(spark, sf_dir, "embeddings"), k=3)
+    return out.select("query_id", "nbr_id", F.round("cosine", 4).alias("cosine"), "rank")
+
+
+@q("sim_lsh_topk", None)  # seeded-numpy hyperplanes; recall vs brute force in tests
+def sim_lsh_topk(spark, sf_dir):
+    """Approximate LSH-bucketed top-k (rows-only driver check; recall vs the
+    brute-force oracle asserted in tests/test_operators.py)."""
+    out = similarity.lsh_topk_neighbors(_t(spark, sf_dir, "embeddings"), k=3, n_tables=8, n_planes=10)
+    return out.select("query_id", "nbr_id", F.round("cosine", 4).alias("cosine"), "rank")
+
+
+# ---------------------------------------------------------------------------
+# ER pipeline + multimodal (non-SQL-expressible; rows-only driver checks)
+# ---------------------------------------------------------------------------
+
+@q("er_flagship_clusters", None)
+def er_flagship_clusters(spark, sf_dir):
+    """Flagship: full block→score→cluster ER run over a deterministic
+    synthetic transcript corpus; returns (conv_id, cluster_id, cluster_size)."""
+    from blink_spark import synth
+    from blink_spark.pipeline import ERPipeline
+
+    t, _ = synth.transcripts_df(spark, synth.SynthConfig(n_conversations=120, seed=42))
+    res = ERPipeline().run(spark, t)
+    sizes = res.assignments.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return res.assignments.join(sizes, "cluster_id").select("conv_id", "cluster_id", "cluster_size")
+
+
+@q("er_candidate_pairs", None)
+def er_candidate_pairs(spark, sf_dir):
+    """Stage-1 blocking output: candidate pairs for the synthetic corpus."""
+    from blink_spark import synth
+    from blink_spark.pipeline import ERPipeline
+
+    t, _ = synth.transcripts_df(spark, synth.SynthConfig(n_conversations=120, seed=42))
+    pipe = ERPipeline()
+    return pipe.block(pipe.build_features(pipe.build_docs(t)))
+
+
+@q("multimodal_features", None)
+def multimodal_features(spark, sf_dir):
+    """Binary-payload feature extraction plumbing (stubbed decoder)."""
+    media = multimodal.synth_media(spark, n=64, seed=42)
+    return multimodal.extract_features(media).select("media_id", "kind", "n_bytes")
+
+
+@q("multimodal_frame_plan", None)
+def multimodal_frame_plan(spark, sf_dir):
+    """Video frame-sampling fan-out plan (pure metadata column math)."""
+    media = multimodal.synth_media(spark, n=64, seed=42)
+    return multimodal.frame_sample_plan(media, every_ms=1000)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

@@ -34,6 +34,9 @@ def get_spark(
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local mode: the driver JVM hosts all executor threads — size it
+        # for the machine (default 1g OOMs broadcast builds at sf0.1+)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         # -- adaptive execution: runtime re-plan for skewed blocks ------
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

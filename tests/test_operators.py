@@ -1,0 +1,156 @@
+"""Operator tests: dedup suite, similarity search, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from blink_spark.operators import dedup, multimodal, similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+# ---- dedup ---------------------------------------------------------------
+
+def test_exact_dedup_planted(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other text"), (4, "HELLO WORLD ")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: (r["canon_id"], r["group_size"]) for r in dedup.exact_dedup(df).collect()}
+    assert got == {1: (1, 3), 2: (1, 3), 4: (1, 3), 3: (3, 1)}
+
+
+def test_minhash_clusters_recover_planted_neardups(spark, documents):
+    """Plant corrupted copies of real documents; clusters must recover them."""
+    base = documents.limit(20)
+    copies = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        # word-drop corruption: remove every 13th word
+        F.array_join(
+            F.filter(F.split("text", " "), lambda w, i: i % 13 != 0, ),
+            " ",
+        ).alias("text"),
+    )
+    corpus = base.select("doc_id", "text").unionByName(copies)
+    clusters = dedup.minhash_dedup_clusters(corpus, jaccard_threshold=0.5)
+    got = {r["doc_id"]: r["canon_id"] for r in clusters.collect()}
+    for i in [r["doc_id"] for r in base.select("doc_id").collect()]:
+        assert got[i + 100000] == got[i], f"copy of {i} not clustered with original"
+
+
+def test_simhash_pairs_hamming_exact(spark, documents):
+    """Banded pairs must agree with the exact definition: every reported pair
+    respects the hamming bound, and identical docs always pair."""
+    dup = documents.limit(5).select((F.col("doc_id") + 50000).alias("doc_id"), "text")
+    corpus = documents.select("doc_id", "text").unionByName(dup)
+    pairs = dedup.simhash_dedup_pairs(corpus, max_hamming=8)
+    rows = pairs.collect()
+    assert all(r["hamming"] <= 8 for r in rows)
+    got = {(r["doc_a"], r["doc_b"]) for r in rows}
+    for i in range(5):
+        assert (i, i + 50000) in got or (i + 50000, i) in got
+
+
+def test_ngram_jaccard_identical_is_one(spark):
+    docs = spark.createDataFrame([(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w q r")], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], ["doc_a", "doc_b"])
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dedup.ngram_jaccard_pairs(docs, pairs, threshold=-1).collect()}
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == 0.0
+
+
+def test_embedding_neardup_symmetric_threshold(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {(r["id_a"], r["id_b"]) for r in dedup.embedding_neardup_pairs(df, threshold=0.95).collect()}
+    assert got == {(1, 2)}
+
+
+# ---- similarity search ----------------------------------------------------
+
+def test_brute_force_topk_shape(spark, embeddings):
+    out = similarity.brute_force_topk(embeddings, k=3)
+    n = embeddings.count()
+    rows = out.collect()
+    assert len(rows) == n * 3
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(x["rank"] for x in rs)
+        assert ranks == [1, 2, 3]
+        cosines = [x["cosine"] for x in sorted(rs, key=lambda x: x["rank"])]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(x["nbr_id"] != q for x in rs)
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, embeddings):
+    """ANN recall@3 vs the exact oracle on sf0.001 — near-random vectors
+    (top-3 cosine ≈ 0.35, θ ≈ 70°) are LSH's hostile regime, so buckets are
+    sized wide (4 planes × 16 tables → per-table collision ≈ 0.13)."""
+    recall = similarity.ann_recall_vs_exact(embeddings, k=3, n_tables=16, n_planes=4)
+    assert recall >= 0.8, recall
+
+
+def test_lsh_finds_planted_high_cosine_neighbors(spark, embeddings):
+    """In LSH's design regime (near-dup, cosine ≥ 0.95) recall must be ~1:
+    plant jittered copies and require every copy to list its original first."""
+    base = embeddings.limit(30)
+    jitter = base.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 0.98 + 0.01).alias("embedding"),
+    )
+    corpus = base.select("vec_id", "embedding").unionByName(jitter.select("vec_id", "embedding"))
+    out = similarity.lsh_topk_neighbors(corpus, k=1, n_planes=6, n_tables=12)
+    got = {r["query_id"]: r["nbr_id"] for r in out.collect()}
+    hits = sum(1 for r in range(30) if got.get(r + 10000) == r)
+    assert hits >= 29, f"only {hits}/30 planted neighbors found"
+
+
+def test_hyperplane_buckets_deterministic(spark, embeddings):
+    b1 = {r["vec_id"]: r["buckets"] for r in similarity.hyperplane_buckets(embeddings, seed=1).collect()}
+    b2 = {r["vec_id"]: r["buckets"] for r in similarity.hyperplane_buckets(embeddings.repartition(7), seed=1).collect()}
+    assert b1 == b2
+
+
+# ---- multimodal plumbing ----------------------------------------------------
+
+def test_extract_features_deterministic_and_shaped(spark):
+    media = multimodal.synth_media(spark, n=30, seed=5)
+    f1 = multimodal.extract_features(media).orderBy("media_id").collect()
+    f2 = multimodal.extract_features(media.repartition(4)).orderBy("media_id").collect()
+    assert len(f1) == 30
+    for a, b in zip(f1, f2):
+        assert a["media_id"] == b["media_id"]
+        assert a["feature"] == b["feature"]
+        assert len(a["feature"]) == 64
+        assert abs(float(np.linalg.norm(a["feature"])) - 1.0) < 1e-3
+
+
+def test_real_decoder_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decode(b"bytes", "image")
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.synth_media(spark, n=30, seed=5)
+    plan = multimodal.frame_sample_plan(media, every_ms=1000)
+    rows = plan.collect()
+    vids = {r["media_id"] for r in media.where(F.col("kind") == "video").collect()}
+    assert {r["media_id"] for r in rows} == vids
+    for r in rows:
+        assert r["frame_ts_ms"] % 1000 == 0
