@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from blink_spark.functions.text import canonicalize, token_ngrams, tokens, word_window
-from blink_spark.operators import dedup, multimodal, similarity, textstats
+from blink_spark.operators import dedup, multimodal, similarity, spans, textstats
 
 _CANON_SQL = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
 _TOKENS_SQL = f"string_split({_CANON_SQL.format(c='text')}, ' ')"
@@ -67,6 +67,52 @@ def s1_catalog_scan(spark, sf_dir):
         .groupBy("src_id")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
     )
+
+
+@q("s5_tsv_positional_scan", None)  # file-format scan; round-trip asserted in tests
+def s5_tsv_positional_scan(spark, sf_dir):
+    """S5: headerless positional TSV scan (`dataset.py:18-69`) over a
+    deterministic fixture derived from `documents`; parses positional
+    fields + a split/element_at projection."""
+    from blink_spark.sources import fixtures, text_formats
+
+    path = fixtures.tsv_fixture(sf_dir)
+    df = text_formats.read_tsv_positional(spark, path, ["doc_id", "lang", "head"])
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.element_at(F.split("head", " "), 1).alias("first_tok"),
+    )
+
+
+@q("s6_conll_scan", None)  # stateful line format; span round-trip asserted in tests
+def s6_conll_scan(spark, sf_dir):
+    """S6: CoNLL token-stream scan with -DOCSTART- boundaries and B/I
+    mention assembly (`dataset.py:73-138`) — running-sum window functions
+    instead of a per-line Python state machine."""
+    from blink_spark.sources import fixtures, text_formats
+
+    path = fixtures.conll_fixture(sf_dir)
+    toks = text_formats.parse_conll(spark, path)
+    return text_formats.conll_mentions(toks)
+
+
+@q(
+    "s17_sentence_split",
+    """WITH s AS (SELECT doc_id,
+                        list_filter(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]*'),
+                                                   x -> trim(x)), x -> x <> '') AS arr
+                 FROM documents)
+       SELECT doc_id,
+              CAST(unnest(generate_series(1, len(arr))) - 1 AS INTEGER) AS sent_idx,
+              unnest(arr) AS sentence
+       FROM s""",
+)
+def s17_sentence_split(spark, sf_dir):
+    """S17: sentence segmentation scan (`blink/utils.py:15-30`)."""
+    from blink_spark.sources import text_formats
+
+    return text_formats.split_sentences(_t(spark, sf_dir, "documents"))
 
 
 @q(
@@ -218,6 +264,74 @@ def j4_token_blocking_join(spark, sf_dir):
 
 
 @q(
+    "j5_prior_fallback_join",
+    f"""WITH m AS (SELECT doc_id, t[1] AS mention_key
+                  FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)),
+         d0 AS (SELECT t[1] AS tok, COUNT(*) AS prior
+                FROM (SELECT {_TOKENS_SQL} AS t FROM documents) GROUP BY 1),
+         d AS (SELECT CASE WHEN prior % 2 = 0
+                           THEN upper(substring(tok, 1, 1)) || substring(tok, 2)
+                           ELSE tok END AS dict_key, prior FROM d0)
+       SELECT m.doc_id, m.mention_key,
+              COALESCE(e.prior, f.prior, 0) AS resolved_prior
+       FROM m
+       LEFT JOIN d e ON m.mention_key = e.dict_key
+       LEFT JOIN d f ON upper(substring(m.mention_key, 1, 1)) || substring(m.mention_key, 2) = f.dict_key""",
+)
+def j5_prior_fallback_join(spark, sf_dir):
+    """J5: p_e_m dictionary-prior join with exact → title-case fallback
+    cascade + coalesce (`blink/candidate_retrieval/dataset.py:322-347`).
+    The dictionary keys are deliberately mixed-case (half title-cased) so
+    both cascade legs are exercised; broadcast joins on the small dict."""
+    d = _t(spark, sf_dir, "documents")
+    first_tok = F.element_at(tokens(F.col("text")), 1)
+    m = d.select("doc_id", first_tok.alias("mention_key"))
+    d0 = d.select(first_tok.alias("tok")).groupBy("tok").agg(F.count(F.lit(1)).alias("prior"))
+    tc = F.concat(F.upper(F.substring("tok", 1, 1)), F.substring("tok", 2, 1 << 20))
+    dic = d0.select(
+        F.when(F.col("prior") % 2 == 0, tc).otherwise(F.col("tok")).alias("dict_key"), "prior"
+    )
+    e = F.broadcast(dic.withColumnsRenamed({"prior": "p_exact"}))
+    f_ = F.broadcast(dic.withColumnsRenamed({"prior": "p_title"}))
+    m_tc = F.concat(F.upper(F.substring("mention_key", 1, 1)), F.substring("mention_key", 2, 1 << 20))
+    return (
+        m.join(e, m.mention_key == e.dict_key, "left")
+        .drop("dict_key")
+        .join(f_, m_tc == f_.dict_key, "left")
+        .select(
+            "doc_id",
+            "mention_key",
+            F.coalesce("p_exact", "p_title", F.lit(0)).alias("resolved_prior"),
+        )
+    )
+
+
+@q(
+    "j7_containment_selfjoin",
+    f"""WITH d AS (SELECT doc_id, source, {_CANON_SQL.format(c='text')} AS c FROM documents)
+       SELECT a.doc_id, COUNT(*) AS n_contained
+       FROM d a JOIN d b
+         ON a.source = b.source AND a.doc_id <> b.doc_id
+        AND instr(a.c, substring(b.c, 1, 30)) > 0
+       GROUP BY 1""",
+)
+def j7_containment_selfjoin(spark, sf_dir):
+    """J7: within-block self-join with substring-containment predicate
+    (coref-candidate join, `dataset.py:153-187`): block on `source`, theta
+    predicate inside the block — the same block-then-theta shape as the
+    ER pair scorer."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", canonicalize(F.col("text")).alias("c"))
+    a = d.select(F.col("doc_id"), F.col("source"), F.col("c").alias("ca"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("source"), F.substring("c", 1, 30).alias("head_b"))
+    return (
+        a.join(b, "source")
+        .where((F.col("doc_id") != F.col("doc_b")) & (F.instr(F.col("ca"), F.col("head_b")) > 0))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contained"))
+    )
+
+
+@q(
     "j10_array_position",
     f"""SELECT doc_id, CAST(COALESCE(list_position({_TOKENS_SQL}, 'spark'), 0) AS BIGINT) AS gold_pos
        FROM documents""",
@@ -274,6 +388,64 @@ def a1_recall_at_k(spark, sf_dir):
     )
     hit = lambda k: F.round(F.avg(F.when(F.col("pos").between(1, k), 1.0).otherwise(0.0)), 4)
     return pos.agg(hit(1).alias("r_at_1"), hit(5).alias("r_at_5"), hit(20).alias("r_at_20"))
+
+
+@q(
+    "a2_a5_rank_histogram",
+    f"""SELECT CAST(SUM(CASE WHEN pos BETWEEN 1 AND 1  THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_1,
+              CAST(SUM(CASE WHEN pos BETWEEN 1 AND 4  THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_4,
+              CAST(SUM(CASE WHEN pos BETWEEN 1 AND 8  THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_8,
+              CAST(SUM(CASE WHEN pos BETWEEN 1 AND 16 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_16,
+              COUNT(*) AS total
+       FROM ({_GOLD_POS_SQL})""",
+)
+def a2_a5_rank_histogram(spark, sf_dir):
+    """A2/A5: rank-threshold hit histogram (`zeshel_utils.py:70-99`,
+    precision@k counts `candidate_ranking/utils.py:63-83`) — one pass of
+    conditional sums."""
+    pos = _t(spark, sf_dir, "documents").select(
+        F.array_position(tokens(F.col("text")), "spark").alias("pos")
+    )
+    hits = lambda k: F.sum(F.when(F.col("pos").between(1, k), 1).otherwise(0)).cast("long")
+    return pos.agg(
+        hits(1).alias("hits_at_1"),
+        hits(4).alias("hits_at_4"),
+        hits(8).alias("hits_at_8"),
+        hits(16).alias("hits_at_16"),
+        F.count(F.lit(1)).alias("total"),
+    )
+
+
+@q(
+    "a3_a4_accuracy",
+    """WITH r AS (SELECT user_id, event_type,
+                        row_number() OVER (PARTITION BY user_id
+                                           ORDER BY value DESC, event_id) AS rn
+                 FROM events),
+        p AS (SELECT user_id,
+                     MAX(CASE WHEN rn = 1 AND event_type = 'error' THEN 1 ELSE 0 END) AS pred_correct,
+                     MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS has_gold
+              FROM r GROUP BY user_id)
+       SELECT ROUND(CAST(SUM(pred_correct) AS DOUBLE) / NULLIF(SUM(has_gold), 0), 4) AS norm_acc,
+              ROUND(CAST(SUM(pred_correct) AS DOUBLE) / COUNT(*), 4) AS unnorm_acc
+       FROM p""",
+)
+def a3_a4_accuracy(spark, sf_dir):
+    """A3/A4: normalized accuracy (argmax == gold among rows whose gold was
+    retrieved) and unnormalized accuracy (× retained/total)
+    (`blink/main_dense.py:562-577`). Demo task: is each user's max-value
+    event an 'error' event, for users that have any."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    r = e.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+    p = r.groupBy("user_id").agg(
+        F.max(F.when((F.col("rn") == 1) & (F.col("event_type") == "error"), 1).otherwise(0)).alias("pc"),
+        F.max(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("hg"),
+    )
+    return p.agg(
+        F.round(F.sum("pc").cast("double") / F.nullif(F.sum("hg"), F.lit(0)), 4).alias("norm_acc"),
+        F.round(F.sum("pc").cast("double") / F.count(F.lit(1)), 4).alias("unnorm_acc"),
+    )
 
 
 @q(
@@ -392,6 +564,98 @@ def a13_group_collect(spark, sf_dir):
     )
 
 
+@q(
+    "a11_match_rate_counters",
+    """SELECT CAST(SUM(CASE WHEN n.n_name IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS by_nation,
+              CAST(SUM(CASE WHEN n.n_name IS NULL AND r.r_name IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS by_region_fallback,
+              CAST(SUM(CASE WHEN n.n_name IS NULL AND r.r_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unmatched,
+              COUNT(*) AS total
+       FROM customer c
+       LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey AND n.n_nationkey < 20
+       LEFT JOIN region r ON (c.c_nationkey % 5) = r.r_regionkey""",
+)
+def a11_match_rate_counters(spark, sf_dir):
+    """A11: per-strategy match-rate counters over a fallback join
+    (`enrich_data.py:74-140` counts by-title vs by-id matches) — these are
+    the lineage counters the checkpoint layer also records."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = c.join(n, (c.c_nationkey == n.n_nationkey) & (n.n_nationkey < 20), "left").join(
+        r, (c.c_nationkey % 5) == r.r_regionkey, "left"
+    )
+    return j.agg(
+        F.sum(F.when(F.col("n_name").isNotNull(), 1).otherwise(0)).cast("long").alias("by_nation"),
+        F.sum(F.when(F.col("n_name").isNull() & F.col("r_name").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("by_region_fallback"),
+        F.sum(F.when(F.col("n_name").isNull() & F.col("r_name").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("unmatched"),
+        F.count(F.lit(1)).alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temporal operators over the events stream table (batch form of the
+# engine's incremental semantics; SURVEY §2.10 — the reference is batch-only,
+# these are the training-pipeline analogs of streaming windows/sessions)
+# ---------------------------------------------------------------------------
+
+@q(
+    "t1_time_window_agg",
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+              COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+       FROM events GROUP BY 1, 2""",
+)
+def t1_time_window_agg(spark, sf_dir):
+    """Tumbling time-window aggregation (`F.window` — identical code runs
+    under Structured Streaming with a watermark; here batch over `events`)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+@q(
+    "t2_sessionization",
+    """WITH g AS (
+         SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT user_id, ts,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+              FROM g)
+       SELECT user_id, session_id, COUNT(*) AS n_events,
+              MIN(ts) AS session_start, MAX(ts) AS session_end
+       FROM s GROUP BY 1, 2""",
+)
+def t2_sessionization(spark, sf_dir):
+    """Sessionization: 30-minute-gap session windows via lag + running sum —
+    the batch equivalent of a streaming session window
+    (`applyInPandasWithState` would carry the same state incrementally)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    g = e.select(
+        "user_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_s"),
+    )
+    ws = Window.partitionBy("user_id").orderBy("ts")
+    s = g.select("user_id", "ts", F.sum("new_s").over(ws).alias("session_id"))
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Windows / top-k / set ops (SURVEY §2.5–2.7)
 # ---------------------------------------------------------------------------
@@ -433,6 +697,85 @@ def w2_rank_argsort(spark, sf_dir):
         )
         .where(F.col("rn") <= 5)
     )
+
+
+@q(
+    "w3_topk_threshold_fallback",
+    """SELECT user_id, event_id, value, rn FROM (
+         SELECT user_id, event_id, value,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY value DESC, event_id) AS rn
+         FROM events) WHERE rn <= 3 AND (value >= 50 OR rn = 1)""",
+)
+def w3_topk_threshold_fallback(spark, sf_dir):
+    """W3: top-k + threshold with keep-at-least-one fallback
+    (`prune_ctxt_mentions`, `elq/biencoder/biencoder.py:318-363`)."""
+    return spans.topk_threshold_fallback(
+        _t(spark, sf_dir, "events").select("user_id", "event_id", "value"),
+        group_col="user_id",
+        order_col="value",
+        tiebreak_col="event_id",
+        k=3,
+        threshold=50.0,
+    )
+
+
+@q("w4_greedy_overlap_prune", None)  # sequential-per-group; pandas oracle in tests
+def w4_greedy_overlap_prune(spark, sf_dir):
+    """W4: greedy overlap pruning (`elq/main_dense.py:451-466`) via
+    applyInPandas per group — spans are [value, value+5) intervals per user;
+    verified against a single-threaded pandas oracle in tests/test_spans.py."""
+    e = _t(spark, sf_dir, "events")
+    sp = e.select(
+        F.col("user_id").alias("group_id"),
+        F.col("event_id").alias("span_id"),
+        F.col("value").alias("start"),
+        (F.col("value") + 5.0).alias("end"),
+        F.col("value").alias("score"),
+    )
+    return spans.greedy_overlap_prune(sp)
+
+
+@q(
+    "w6_ordered_collect",
+    """SELECT user_id,
+              array_to_string((list(event_id ORDER BY ts, event_id))[1:5], ',') AS first5
+       FROM events GROUP BY user_id""",
+)
+def w6_ordered_collect(spark, sf_dir):
+    """W6: sort-mentions-within-example (`elq/biencoder/data_process.py:202-248`):
+    collect_list of structs + array_sort gives a deterministic ordered list
+    regardless of partitioning; here the first 5 event ids per user by time."""
+    e = _t(spark, sf_dir, "events")
+    ordered = F.array_sort(F.collect_list(F.struct("ts", "event_id")))
+    return e.groupBy("user_id").agg(
+        F.array_join(
+            F.slice(F.transform(ordered, lambda s: s["event_id"].cast("string")), 1, 5), ","
+        ).alias("first5")
+    )
+
+
+@q(
+    "u10_joint_score_threshold",
+    """WITH l AS (SELECT user_id, event_id, value / 100.0 AS logit FROM events),
+        m AS (SELECT user_id, event_id, logit,
+                     max(logit) OVER (PARTITION BY user_id) AS mx FROM l),
+        s AS (SELECT user_id, event_id, logit, mx,
+                     sum(exp(logit - mx)) OVER (PARTITION BY user_id) AS denom
+              FROM m)
+       SELECT user_id, event_id,
+              ROUND((logit - mx) - ln(denom) - ln(1 + exp(-logit)), 4) AS joint
+       FROM s
+       WHERE (logit - mx) - ln(denom) - ln(1 + exp(-logit)) > -5.0""",
+)
+def u10_joint_score_threshold(spark, sf_dir):
+    """U10/U11: joint score = log_softmax(candidate logit over group) +
+    log sigmoid(logit), thresholded (`elq/main_dense.py:355,432-449`)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", (F.col("value") / 100.0).alias("logit")
+    )
+    out = spans.joint_score(e, group_col="user_id", logit_col="logit", threshold=-5.0)
+    return out.select("user_id", "event_id", F.round("joint", 4).alias("joint"))
 
 
 @q(
@@ -588,6 +931,22 @@ def dedup_ngram_jaccard(spark, sf_dir):
     pairs = a.join(b, "s").where(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
     j = dedup.ngram_jaccard_pairs(d, pairs, threshold=-1.0)
     return j.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@q(
+    "dedup_embedding_neardup",
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) >= 0.4""",
+)
+def dedup_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (brute-force correctness leg;
+    the LSH-bucketed scale leg is sim_lsh_topk)."""
+    out = dedup.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
 @q("dedup_simhash_pairs", None)  # kernel is numpy; verified in tests vs hamming oracle

@@ -1,0 +1,53 @@
+"""Deterministic text-format fixtures derived from the documents table.
+
+The reference's TSV/CoNLL inputs (AIDA files, `dataset.py:18-138`) don't
+exist in this sandbox, so the scan operators are exercised on fixtures
+derived deterministically from the driver's parquet `documents` table —
+same content at every run, no randomness, regenerated only if absent.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+
+
+def _docs(sf_dir: str, limit: int = 200):
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "text"])
+    rows = sorted(zip(*[tbl[c].to_pylist() for c in ["doc_id", "lang", "text"]]))[:limit]
+    return rows
+
+
+def tsv_fixture(sf_dir: str) -> str:
+    """S5 fixture: headerless TSV (doc_id, lang, text_head) — positional."""
+    out = f"/tmp/blink_fixtures/{os.path.basename(sf_dir.rstrip('/'))}_docs.tsv"
+    if not os.path.exists(out):
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        tmp = out + ".tmp"
+        with open(tmp, "w") as f:
+            for doc_id, lang, text in _docs(sf_dir):
+                head = (text or "").replace("\t", " ").replace("\n", " ")[:60]
+                f.write(f"{doc_id}\t{lang}\t{head}\n")
+        os.replace(tmp, out)
+    return out
+
+
+def conll_fixture(sf_dir: str) -> str:
+    """S6 fixture: CoNLL-ish token stream. Every doc starts with
+    ``-DOCSTART- (<doc_id>)``; every 7th token opens a B mention, the next
+    token continues it with I — deterministic in the text alone."""
+    out = f"/tmp/blink_fixtures/{os.path.basename(sf_dir.rstrip('/'))}_docs.conll"
+    if not os.path.exists(out):
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        tmp = out + ".tmp"
+        with open(tmp, "w") as f:
+            for doc_id, _, text in _docs(sf_dir, limit=50):
+                f.write(f"-DOCSTART- ({doc_id})\n")
+                toks = (text or "").split()[:40]
+                for i, tok in enumerate(toks):
+                    tag = "B" if i % 7 == 0 else ("I" if i % 7 == 1 else "O")
+                    f.write(f"{tok}\t{tag}\n")
+                f.write("\n")
+        os.replace(tmp, out)
+    return out

@@ -1,0 +1,130 @@
+"""Span operators (greedy prune vs single-threaded oracle) and text-format
+sources (TSV/CoNLL round-trips)."""
+
+import os
+import sys
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from blink_spark.operators import spans
+from blink_spark.sources import fixtures, text_formats
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _greedy_oracle(rows):
+    """Single-threaded reference implementation of W4 greedy overlap prune."""
+    out = []
+    by_group = {}
+    for g, sid, s, e, sc in rows:
+        by_group.setdefault(g, []).append((sid, s, e, sc))
+    for g, items in by_group.items():
+        items.sort(key=lambda r: (-r[3], r[0]))
+        kept = []
+        for sid, s, e, sc in items:
+            if all(not (s < ke and ks < e) for _, ks, ke, _ in kept):
+                kept.append((sid, s, e, sc))
+        out.extend((g, sid) for sid, *_ in kept)
+    return sorted(out)
+
+
+def test_greedy_overlap_prune_matches_oracle(spark):
+    rows = [
+        # group 1: overlapping chain — greedy by score keeps 10 and 30
+        (1, 10, 0.0, 5.0, 9.0),
+        (1, 20, 4.0, 9.0, 8.0),   # overlaps 10 → dropped
+        (1, 30, 5.0, 8.0, 7.0),   # touches 10 at boundary (half-open) → kept
+        # group 2: tie on score — span_id breaks the tie deterministically
+        (2, 1, 0.0, 4.0, 5.0),
+        (2, 2, 3.0, 6.0, 5.0),
+        # group 3: singleton
+        (3, 7, 1.0, 2.0, 0.5),
+    ]
+    df = spark.createDataFrame(rows, "group_id long, span_id long, start double, end double, score double")
+    got = sorted((r.group_id, r.span_id) for r in spans.greedy_overlap_prune(df).collect())
+    assert got == _greedy_oracle(rows)
+    assert got == [(1, 10), (1, 30), (2, 1), (3, 7)]
+
+
+def test_greedy_prune_partition_invariance(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (g, i, float(s := rnd.randint(0, 50)), float(s + rnd.randint(1, 10)), round(rnd.random(), 6))
+        for g in range(20)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "group_id long, span_id long, start double, end double, score double")
+    a = sorted(map(tuple, spans.greedy_overlap_prune(df.repartition(2)).collect()))
+    b = sorted(map(tuple, spans.greedy_overlap_prune(df.repartition(17)).collect()))
+    assert a == b
+    assert sorted((r[0], r[1]) for r in a) == _greedy_oracle(rows)
+
+
+def test_joint_score_log_softmax_sums_to_one(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, 1, 0.2), (1, 2, 1.5), (1, 3, -0.7), (2, 4, 0.0)],
+        "user_id long, event_id long, logit double",
+    )
+    out = spans.joint_score(df, group_col="user_id", logit_col="logit").collect()
+    # joint - log_sigmoid == log_softmax; per group the softmax probs sum to 1
+    by_group = {}
+    for r in out:
+        ls = r.joint + math.log1p(math.exp(-r.logit))  # remove log-sigmoid term
+        by_group.setdefault(r.user_id, []).append(math.exp(ls))
+    for g, probs in by_group.items():
+        assert abs(sum(probs) - 1.0) < 1e-9, (g, probs)
+
+
+def test_tsv_fixture_roundtrip(spark):
+    path = fixtures.tsv_fixture(SF_DIR)
+    df = text_formats.read_tsv_positional(spark, path, ["doc_id", "lang", "head"])
+    n_lines = sum(1 for _ in open(path))
+    assert df.count() == n_lines
+    assert df.where(F.col("doc_id").cast("long").isNull()).count() == 0
+
+
+def test_conll_parse_spans(spark):
+    path = fixtures.conll_fixture(SF_DIR)
+    toks = text_formats.parse_conll(spark, path)
+    mentions = text_formats.conll_mentions(toks)
+
+    # oracle: parse the file single-threaded
+    exp_docs, exp_mentions = 0, 0
+    n_tok = 0
+    for line in open(path):
+        line = line.rstrip("\n")
+        if line.startswith("-DOCSTART-"):
+            exp_docs += 1
+        elif line.strip():
+            n_tok += 1
+            if line.split("\t")[1] == "B":
+                exp_mentions += 1
+    assert toks.select("doc_id").distinct().count() == exp_docs
+    assert toks.count() == n_tok
+    assert mentions.count() == exp_mentions
+    # every B followed by I yields a two-token mention: end - start ∈ {0, 1}
+    bad = mentions.where(~(F.col("end") - F.col("start")).isin(0, 1)).count()
+    assert bad == 0
+    # mention text is space-joined tokens in order
+    m = mentions.orderBy("doc_id", "mention_id").first()
+    assert isinstance(m.mention, str) and len(m.mention) > 0
+
+
+def test_sentence_split(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello there. How are you? Fine!"), (2, "no terminal punct")],
+        "doc_id long, text string",
+    )
+    out = text_formats.split_sentences(df).collect()
+    got = {(r.doc_id, r.sent_idx): r.sentence for r in out}
+    assert got[(1, 0)] == "Hello there."
+    assert got[(1, 1)] == "How are you?"
+    assert got[(1, 2)] == "Fine!"
+    assert got[(2, 0)] == "no terminal punct"
