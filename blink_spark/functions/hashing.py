@@ -57,28 +57,74 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+def _combine_windows(h: np.ndarray, k: int) -> np.ndarray:
+    """Sliding-window hash combine: position i gets a mix of h[i..i+k-1].
+
+    Pure uint64 arithmetic on the whole array — no per-window Python. The
+    window hash is order-sensitive (``acc*φ + next`` then splitmix), so
+    'a b c' and 'c b a' land in different buckets, like string shingles.
+    """
+    m = len(h)
+    L = m - k + 1
+    with np.errstate(over="ignore"):
+        if L <= 0:  # shorter than one window → one hash of the whole list
+            acc = np.full(1, _U64(k), dtype=np.uint64)
+            for j in range(m):
+                acc = splitmix64(acc * _GOLDEN + h[j : j + 1])
+            return acc
+        acc = splitmix64(h[:L] * _GOLDEN + _U64(k))
+        for j in range(1, k):
+            acc = splitmix64(acc * _GOLDEN + h[j : j + L])
+    return acc
+
+
 def token_shingles(tokens: list[str], k: int = 3) -> np.ndarray:
-    """Hashes of the k-token shingles of one token list (uint64, deduped).
+    """Hashes of the k-token shingles of one token list (uint64, deduped,
+    sorted — stage-2 Jaccard relies on the sorted order).
 
     A document shorter than ``k`` tokens contributes its whole token list
     as a single shingle so it still gets a signature.
     """
-    n = len(tokens)
-    if n == 0:
+    if len(tokens) == 0:
         return np.empty(0, dtype=np.uint64)
-    if n < k:
-        grams = [" ".join(tokens)]
-    else:
-        grams = [" ".join(tokens[i : i + k]) for i in range(n - k + 1)]
-    return np.unique(stable_hash64(grams))
+    return np.unique(_combine_windows(stable_hash64(tokens), k))
+
+
+def token_shingles_batch(token_lists: list[list[str]], k: int = 3) -> list[np.ndarray]:
+    """Batch :func:`token_shingles`: one ``stable_hash64`` call for the whole
+    Arrow batch (per-call overhead dominates on small documents), then a
+    vectorized window combine per document. Identical output to the
+    single-document function."""
+    flat: list[str] = []
+    sizes = np.empty(len(token_lists), dtype=np.int64)
+    for i, lst in enumerate(token_lists):
+        sizes[i] = len(lst)
+        flat.extend(lst)
+    empty = np.empty(0, dtype=np.uint64)
+    if not flat:
+        return [empty for _ in token_lists]
+    h = stable_hash64(flat)
+    out = []
+    off = 0
+    for n in sizes:
+        if n == 0:
+            out.append(empty)
+        else:
+            out.append(np.unique(_combine_windows(h[off : off + n], k)))
+        off += n
+    return out
 
 
 def char_ngrams_hashed(text: str, n: int = 3) -> np.ndarray:
-    """Hashes of character n-grams of one string (uint64, with repeats)."""
-    if len(text) < n:
-        return stable_hash64([text]) if text else np.empty(0, dtype=np.uint64)
-    grams = [text[i : i + n] for i in range(len(text) - n + 1)]
-    return stable_hash64(grams)
+    """Hashes of character n-grams of one string (uint64, with repeats).
+
+    Codepoint-array arithmetic (one encode + k vectorized mixes), not
+    per-gram string slicing — ~100× less Python per document.
+    """
+    if not text:
+        return np.empty(0, dtype=np.uint64)
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    return _combine_windows(cps, n)
 
 
 class MinHasher:
@@ -103,13 +149,20 @@ class MinHasher:
         # matters for LSH banding; collision stats stay minhash-like.
         x = splitmix64(hashes)
         with np.errstate(over="ignore"):
-            return self.a[:, None] * x[None, :] + self.b[:, None]
+            hv = np.multiply(self.a[:, None], x[None, :])
+            hv += self.b[:, None]
+        return hv
 
-    def signatures(self, shingle_sets: list[np.ndarray], chunk: int = 200_000) -> np.ndarray:
+    def signatures(self, shingle_sets: list[np.ndarray], chunk: int = 8_192) -> np.ndarray:
         """MinHash signatures for a batch of shingle-hash sets.
 
         Returns ``(D, P)`` uint64. Empty sets get the all-max signature
         (they never collide with anything).
+
+        ``chunk`` bounds the ``(P × chunk)`` scratch matrix: small enough to
+        stay cache-resident per worker — with 32 Arrow workers per host the
+        kernel is memory-bandwidth-bound, and DRAM-sized temporaries
+        serialize the whole stage (measured ~6× slowdown at chunk=200k).
         """
         D = len(shingle_sets)
         out = np.full((D, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
@@ -159,25 +212,48 @@ class MinHasher:
         return keys.view(np.int64)
 
 
-def simhash64(feature_hashes: list[np.ndarray], weights: list[np.ndarray] | None = None) -> np.ndarray:
+def simhash64(
+    feature_hashes: list[np.ndarray],
+    weights: list[np.ndarray] | None = None,
+    chunk: int = 32_768,
+) -> np.ndarray:
     """64-bit SimHash per document from hashed-feature multisets.
 
     For each of the 64 bit positions, sums +w/−w according to the feature
     hash's bit, then takes the sign. Deterministic; no RNG needed.
     Returns int64 array of length D.
+
+    Batch-vectorized: documents are concatenated (in bounded chunks so the
+    ``(features × 64)`` bit matrix stays small) and per-document bit sums
+    come from one ``np.add.reduceat`` — no per-document Python loop.
     """
     D = len(feature_hashes)
     out = np.zeros(D, dtype=np.uint64)
     bit_idx = np.arange(64, dtype=np.uint64)
-    for d in range(D):
-        f = feature_hashes[d]
-        if len(f) == 0:
-            continue
-        w = weights[d] if weights is not None else np.ones(len(f), dtype=np.float64)
-        bits = ((f[:, None] >> bit_idx[None, :]) & _U64(1)).astype(np.float64)  # (M, 64)
-        score = (w[:, None] * (2.0 * bits - 1.0)).sum(axis=0)  # (64,)
-        bitvec = (score > 0).astype(np.uint64)
-        out[d] = np.bitwise_or.reduce(bitvec << bit_idx)
+    sizes = np.array([len(f) for f in feature_hashes], dtype=np.int64)
+    nonempty = np.nonzero(sizes > 0)[0]
+    start = 0
+    ne_sizes = sizes[nonempty]
+    while start < len(nonempty):
+        end = start
+        total = 0
+        while end < len(nonempty) and (total == 0 or total + ne_sizes[end] <= chunk):
+            total += ne_sizes[end]
+            end += 1
+        idx = nonempty[start:end]
+        concat = np.concatenate([feature_hashes[i] for i in idx])
+        offsets = np.zeros(len(idx), dtype=np.int64)
+        np.cumsum(ne_sizes[start : end - 1], out=offsets[1:])
+        bits = ((concat[:, None] >> bit_idx[None, :]) & _U64(1)).astype(np.float32)
+        if weights is not None:
+            w = np.concatenate([np.asarray(weights[i], dtype=np.float32) for i in idx])
+            contrib = w[:, None] * (2.0 * bits - 1.0)
+        else:
+            contrib = 2.0 * bits - 1.0
+        score = np.add.reduceat(contrib, offsets, axis=0)  # (|idx|, 64)
+        bitvecs = (score > 0).astype(np.uint64)
+        out[idx] = (bitvecs << bit_idx[None, :]).sum(axis=1, dtype=np.uint64)
+        start = end
     return out.view(np.int64)
 
 
@@ -207,6 +283,27 @@ def simhash_band_keys(simhashes: np.ndarray, bands: int = 4) -> np.ndarray:
     return np.stack(cols, axis=1).view(np.int64)
 
 
+def vectors_from_hashes(hash_list: list[np.ndarray], dim: int = 256) -> np.ndarray:
+    """Feature-hashed count vectors ``(D, dim)`` float32, L2-normalized rows.
+
+    Batch kernel: all documents' feature hashes are bucketed in one
+    ``np.bincount`` over flattened ``(doc, bucket)`` indices.
+    """
+    D = len(hash_list)
+    sizes = np.array([len(h) for h in hash_list], dtype=np.int64)
+    if sizes.sum() == 0:
+        return np.zeros((D, dim), dtype=np.float32)
+    concat = np.concatenate([h for h in hash_list if len(h)])
+    rows = np.repeat(np.nonzero(sizes > 0)[0], sizes[sizes > 0])
+    buckets = (concat % _U64(dim)).astype(np.int64)
+    signs = np.where((concat >> _U64(32)) & _U64(1), 1.0, -1.0)
+    flat = rows * dim + buckets
+    v = np.bincount(flat, weights=signs, minlength=D * dim).reshape(D, dim).astype(np.float32)
+    norms = np.linalg.norm(v, axis=1, keepdims=True)
+    np.divide(v, norms, out=v, where=norms > 0)
+    return v
+
+
 def hashed_ngram_vector(text: str, dim: int = 256, n: int = 3) -> np.ndarray:
     """Feature-hashed char-n-gram count vector (float32, L2-normalized).
 
@@ -215,14 +312,4 @@ def hashed_ngram_vector(text: str, dim: int = 256, n: int = 3) -> np.ndarray:
     — here replaced by a seedless feature-hashing projection, per
     SURVEY.md §2.9 U1/U2).
     """
-    v = np.zeros(dim, dtype=np.float32)
-    h = char_ngrams_hashed(text, n=n)
-    if len(h) == 0:
-        return v
-    buckets = (h % _U64(dim)).astype(np.int64)
-    signs = np.where((h >> _U64(32)) & _U64(1), 1.0, -1.0).astype(np.float32)
-    np.add.at(v, buckets, signs)
-    norm = np.linalg.norm(v)
-    if norm > 0:
-        v /= norm
-    return v
+    return vectors_from_hashes([char_ngrams_hashed(text, n=n)], dim=dim)[0]

@@ -104,20 +104,21 @@ def compute_features(docs: DataFrame, cfg: BlockingConfig | None = None) -> Data
         mh = H.MinHasher(num_perm=cfg.num_perm, seed=cfg.seed)
         for pdf in batches:
             texts = pdf["doc"].fillna("").tolist()
-            shingle_sets = [H.token_shingles(t.split(), k=cfg.shingle_k) for t in texts]
+            shingle_sets = H.token_shingles_batch([t.split() for t in texts], k=cfg.shingle_k)
             sigs = mh.signatures(shingle_sets)
             mh_keys = mh.band_keys(sigs, cfg.minhash_bands)
+            # char n-gram hashes computed ONCE, reused by SimHash + vectors
             cgrams = [H.char_ngrams_hashed(t, n=cfg.char_ngram) for t in texts]
             sh = H.simhash64(cgrams)
             sh_keys = H.simhash_band_keys(sh, bands=cfg.simhash_bands)
-            vecs = [H.hashed_ngram_vector(t, dim=cfg.vec_dim, n=cfg.char_ngram) for t in texts]
+            vecs = H.vectors_from_hashes(cgrams, dim=cfg.vec_dim)
             yield pd.DataFrame(
                 {
                     "conv_id": pdf["conv_id"],
                     "n_turns": pdf["n_turns"].astype("int64"),
                     "doc_head": [t[:_HEAD_CHARS] for t in texts],
                     "shingles": [s.view(np.int64).tolist() for s in shingle_sets],
-                    "vec": [v.tolist() for v in vecs],
+                    "vec": list(vecs),
                     "minhash_keys": [r.tolist() for r in mh_keys],
                     "simhash_keys": [r.tolist() for r in sh_keys],
                 }

@@ -58,7 +58,7 @@ class ERPipeline:
         return blocking.candidate_pairs(keys, self.config.blocking)
 
     def score(self, pairs: DataFrame, features: DataFrame) -> DataFrame:
-        return scoring.score_pairs(scoring.pair_features(pairs, features), self.config.scoring)
+        return scoring.score_pairs(pairs, features, self.config.scoring)
 
     def cluster(self, edges: DataFrame) -> DataFrame:
         return clustering.connected_components(edges, max_iter=self.config.cc_max_iter)

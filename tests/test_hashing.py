@@ -112,3 +112,26 @@ def test_jaccard():
     assert strsim.jaccard(a, b) == pytest.approx(0.5)
     assert strsim.jaccard(a, a) == 1.0
     assert strsim.jaccard(np.empty(0, np.uint64), a) == 0.0
+
+
+def test_jaccard_sorted_matches_jaccard():
+    rng = np.random.RandomState(11)
+    for _ in range(50):
+        a = np.unique(rng.randint(0, 1000, size=rng.randint(0, 80)).astype(np.uint64))
+        b = np.unique(rng.randint(0, 1000, size=rng.randint(0, 80)).astype(np.uint64))
+        assert strsim.jaccard_sorted(a, b) == pytest.approx(strsim.jaccard(a, b))
+
+
+def test_token_shingles_batch_matches_single():
+    lists = [["a", "b", "c", "d"], [], ["x"], ["p", "q", "r"], ["a", "b", "c", "d", "e"]]
+    batch = H.token_shingles_batch(lists, k=3)
+    for lst, got in zip(lists, batch):
+        assert (got == H.token_shingles(lst, k=3)).all()
+
+
+def test_vectors_from_hashes_matches_single():
+    texts = ["hello world", "", "spark engine blocking"]
+    grams = [H.char_ngrams_hashed(t, 3) for t in texts]
+    batch = H.vectors_from_hashes(grams, dim=64)
+    for t, row in zip(texts, batch):
+        assert np.allclose(row, H.hashed_ngram_vector(t, dim=64))
