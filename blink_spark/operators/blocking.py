@@ -47,6 +47,21 @@ class BlockingConfig:
     simhash_bands: int = 4       # 64-bit SimHash → 4×16-bit buckets
     char_ngram: int = 3
     max_block_size: int = 50     # hard cap on block membership (skew guard)
+    # a candidate pair must share ≥ this many MinHash band keys. With r=2
+    # rows/band a random same-vocabulary pair (j≈0.05) collides on SOME
+    # band ~15% of the time — harmless at 10^5 docs, a pair explosion at
+    # 10^8 (measured 8.8× superlinear pair growth at 4× corpus). A true
+    # near-dup (j≥0.3) shares ~6+ bands, so ≥2 keeps recall while cutting
+    # junk pairs ~10×. SimHash pairs are exempt (32-bit keys, random
+    # collisions negligible; the modality exists to catch char-level
+    # near-dups MinHash token shingles miss).
+    min_shared_minhash_bands: int = 2
+    # SimHash band candidates are verified against the FULL 64-bit Hamming
+    # distance (Manku et al.'s verify step) before pairing: on same-domain
+    # corpora SimHashes crowd together and a 32-bit slice-pair collision is
+    # weak evidence (measured: ~1M junk candidates at 127k docs, junk
+    # median hamming 8 vs gold median 3). bit_count(xor) runs JVM-side.
+    sim_max_hamming: int = 8
     vec_dim: int = 256           # hashed n-gram embedding dim
     seed: int = 42
 
@@ -83,6 +98,7 @@ _FEATURE_SCHEMA = T.StructType(
         T.StructField("vec", T.ArrayType(T.FloatType())),
         T.StructField("minhash_keys", T.ArrayType(T.LongType())),
         T.StructField("simhash_keys", T.ArrayType(T.LongType())),
+        T.StructField("simhash", T.LongType()),
     ]
 )
 
@@ -121,6 +137,7 @@ def compute_features(docs: DataFrame, cfg: BlockingConfig | None = None) -> Data
                     "vec": list(vecs),
                     "minhash_keys": [r.tolist() for r in mh_keys],
                     "simhash_keys": [r.tolist() for r in sh_keys],
+                    "simhash": sh,
                 }
             )
 
@@ -134,8 +151,18 @@ def block_keys(features: DataFrame) -> DataFrame:
     per-modality in metrics (BLINK reports per-retriever recall the same
     way, ``blink/candidate_retrieval/evaluator.py:29-90``).
     """
-    mh = features.select("conv_id", F.lit("minhash").alias("modality"), F.explode("minhash_keys").alias("key"))
-    sh = features.select("conv_id", F.lit("simhash").alias("modality"), F.explode("simhash_keys").alias("key"))
+    mh = features.select(
+        "conv_id",
+        F.lit("minhash").alias("modality"),
+        F.explode("minhash_keys").alias("key"),
+        F.lit(None).cast("long").alias("sig"),
+    )
+    sh = features.select(
+        "conv_id",
+        F.lit("simhash").alias("modality"),
+        F.explode("simhash_keys").alias("key"),
+        F.col("simhash").alias("sig"),
+    )
     return mh.unionByName(sh)
 
 
@@ -167,11 +194,22 @@ def candidate_pairs(keys: DataFrame, cfg: BlockingConfig | None = None) -> DataF
     """
     cfg = cfg or BlockingConfig()
     kept, _ = cap_blocks(keys, cfg.max_block_size)
-    a = kept.select(F.col("modality"), F.col("key"), F.col("conv_id").alias("conv_a"))
-    b = kept.select(F.col("modality"), F.col("key"), F.col("conv_id").alias("conv_b"))
-    pairs = (
+    a = kept.select(F.col("modality"), F.col("key"), F.col("conv_id").alias("conv_a"), F.col("sig").alias("sig_a"))
+    b = kept.select(F.col("modality"), F.col("key"), F.col("conv_id").alias("conv_b"), F.col("sig").alias("sig_b"))
+    hamming_ok = (F.col("modality") != "simhash") | (
+        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= cfg.sim_max_hamming
+    )
+    shared = (
         a.join(b, on=["modality", "key"])
-        .where(F.col("conv_a") < F.col("conv_b"))
+        .where((F.col("conv_a") < F.col("conv_b")) & hamming_ok)
+        .groupBy("conv_a", "conv_b", "modality")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    pairs = (
+        shared.where(
+            (F.col("modality") == "simhash")
+            | (F.col("n_shared") >= cfg.min_shared_minhash_bands)
+        )
         .select("conv_a", "conv_b")
         .dropDuplicates(["conv_a", "conv_b"])
     )

@@ -26,29 +26,42 @@ from pyspark.sql import functions as F
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """Connect every strictly-larger neighbor to the neighborhood minimum."""
+    """Connect every strictly-larger neighbor to the neighborhood minimum.
+
+    Join formulation — the per-node minimum is a partial-aggregatable
+    ``min`` joined back to the neighbor list, NEVER a ``collect_set``: a
+    materialized neighborhood array for a high-degree node (a mega-cluster
+    representative at 10^12 scale) would exceed executor memory, while the
+    min/join shape handles any degree and lets AQE split skewed keys.
+    """
     nbrs = edges.select(F.col("u"), F.col("v")).union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    agg = nbrs.groupBy("u").agg(F.collect_set("v").alias("nv"))
-    m = F.array_min(F.array_union(F.col("nv"), F.array(F.col("u"))))
-    out = agg.select(
-        F.explode(F.filter("nv", lambda v: v > F.col("u"))).alias("u"),
-        m.alias("v"),
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("mn")).select("u", F.least("mn", F.col("u")).alias("m"))
+    out = (
+        nbrs.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
     )
     return out.where(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    """Within each node's ≤-neighborhood, connect all members to the minimum."""
+    """Within each node's ≤-neighborhood, connect all members to the minimum.
+
+    Same join shape as :func:`_large_star` (no neighborhood arrays).
+    """
     # orient edges large→small
     oriented = edges.select(
         F.greatest("u", "v").alias("u"),
         F.least("u", "v").alias("v"),
     ).where(F.col("u") != F.col("v"))
-    agg = oriented.groupBy("u").agg(F.collect_set("v").alias("nv"))
-    with_self = F.array_union(F.col("nv"), F.array(F.col("u")))
-    m = F.array_min(with_self)
-    out = agg.select(F.explode(with_self).alias("node"), m.alias("v")).where(F.col("node") != F.col("v"))
-    return out.select(F.col("node").alias("u"), "v").dropDuplicates(["u", "v"])
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))  # m < u always
+    out = (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("node"), F.col("m"))
+        .union(mins.select(F.col("u").alias("node"), F.col("m")))
+        .where(F.col("node") != F.col("m"))
+    )
+    return out.select(F.col("node").alias("u"), F.col("m").alias("v")).dropDuplicates(["u", "v"])
 
 
 def _edge_digest(edges: DataFrame) -> tuple[int, int]:

@@ -69,7 +69,15 @@ class ERPipeline:
         spark: SparkSession,
         transcripts: DataFrame,
         checkpoints: CheckpointManager | None = None,
+        compute_metrics: bool = True,
     ) -> PipelineResult:
+        """End-to-end block → score → cluster.
+
+        ``compute_metrics=False`` skips the eager per-stage row counts
+        (three extra Spark jobs) — use for latency-sensitive paths; the
+        checkpointed path records the same counts in its lineage sidecars
+        for free.
+        """
         def ck(name: str, fn, partition_by=None) -> DataFrame:
             if checkpoints is None:
                 # no durable checkpoint requested: persist in-memory so each
@@ -93,11 +101,13 @@ class ERPipeline:
             .select("conv_id", F.coalesce("cluster_id", F.col("conv_id")).alias("cluster_id"))
         )
 
-        metrics = {
-            "n_conversations": docs.count(),
-            "n_candidate_pairs": pairs.count(),
-            "n_match_edges": edges.count(),
-        }
+        metrics = {}
+        if compute_metrics:
+            metrics = {
+                "n_conversations": docs.count(),
+                "n_candidate_pairs": pairs.count(),
+                "n_match_edges": edges.count(),
+            }
         if checkpoints is not None:
             metrics["stages_written"] = list(checkpoints.stages_written)
             metrics["stages_resumed"] = list(checkpoints.stages_resumed)

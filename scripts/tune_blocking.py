@@ -35,13 +35,24 @@ def simulate(seed: int, n_conv: int = 100, bcfg: BlockingConfig | None = None, s
     mkeys = mh.band_keys(sigs, bcfg.minhash_bands)
     sh = H.simhash64([H.char_ngrams_hashed(x, bcfg.char_ngram) for x in texts])
     skeys = H.simhash_band_keys(sh, bcfg.simhash_bands)
-    keysets = {c: set(mkeys[i].tolist()) | {("s", k) for k in skeys[i].tolist()} for i, c in enumerate(cids)}
+    mh_sets = {c: set(mkeys[i].tolist()) for i, c in enumerate(cids)}
+    sh_sets = {c: set(skeys[i].tolist()) for i, c in enumerate(cids)}
+    sh_u64 = sh.view(np.uint64)
     idx = {c: i for i, c in enumerate(cids)}
+
+    def blocked_pair(a: str, b: str) -> bool:
+        """Mirror of blocking.candidate_pairs: ≥min_shared MinHash bands OR
+        (SimHash slice-pair key AND full-64-bit hamming ≤ sim_max_hamming)."""
+        if len(mh_sets[a] & mh_sets[b]) >= bcfg.min_shared_minhash_bands:
+            return True
+        return bool(sh_sets[a] & sh_sets[b]) and (
+            bin(int(sh_u64[idx[a]]) ^ int(sh_u64[idx[b]])).count("1") <= bcfg.sim_max_hamming
+        )
 
     gold = labels[labels.is_match == 1]
     miss_block, miss_score, scores_pos = [], [], []
     for a, b in zip(gold.conv_a, gold.conv_b):
-        blocked = bool(keysets[a] & keysets[b])
+        blocked = blocked_pair(a, b)
         ia, ib = idx[a], idx[b]
         jac = strsim.jaccard(shingle_sets[ia], shingle_sets[ib])
         ha, hb = texts[ia][:_HEAD_CHARS], texts[ib][:_HEAD_CHARS]
@@ -63,7 +74,7 @@ def simulate(seed: int, n_conv: int = 100, bcfg: BlockingConfig | None = None, s
     neg = labels[labels.is_match == 0]
     fp = []
     for a, b in zip(neg.conv_a, neg.conv_b):
-        if keysets[a] & keysets[b]:
+        if blocked_pair(a, b):
             ia, ib = idx[a], idx[b]
             jac = strsim.jaccard(shingle_sets[ia], shingle_sets[ib])
             ha, hb = texts[ia][:_HEAD_CHARS], texts[ib][:_HEAD_CHARS]

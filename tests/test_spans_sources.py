@@ -117,6 +117,17 @@ def test_conll_parse_spans(spark):
     assert isinstance(m.mention, str) and len(m.mention) > 0
 
 
+def test_jsonl_roundtrip(spark, tmp_path):
+    """S14: JSONL writer/reader round-trip (`blink/utils.py:110-117`)."""
+    df = spark.createDataFrame(
+        [(1, "alpha", 2.5), (2, "beta", None)], "id long, name string, score double"
+    )
+    path = str(tmp_path / "out.jsonl")
+    df.write.mode("overwrite").json(path)
+    back = spark.read.json(path, schema=df.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
 def test_sentence_split(spark):
     df = spark.createDataFrame(
         [(1, "Hello there. How are you? Fine!"), (2, "no terminal punct")],
