@@ -62,6 +62,12 @@ class BlockingConfig:
     # weak evidence (measured: ~1M junk candidates at 127k docs, junk
     # median hamming 8 vs gold median 3). bit_count(xor) runs JVM-side.
     sim_max_hamming: int = 8
+    # oversized-block policy: "drop" discards hot keys entirely (hot keys
+    # are boilerplate/empty-text at this corpus shape; the reference's
+    # analog is its hard top-k caps), "split" salts them into sub-blocks
+    # of ≤ max_block_size members (operators/skew.py) — bounded B·max pair
+    # volume instead of 0, for corpora where hot keys still carry signal.
+    overflow: str = "drop"
     vec_dim: int = 256           # hashed n-gram embedding dim
     seed: int = 42
 
@@ -193,14 +199,22 @@ def candidate_pairs(keys: DataFrame, cfg: BlockingConfig | None = None) -> DataF
     cross-encoder, ``blink/crossencoder/data_process.py:89-112``).
     """
     cfg = cfg or BlockingConfig()
-    kept, _ = cap_blocks(keys, cfg.max_block_size)
-    a = kept.select(F.col("modality"), F.col("key"), F.col("conv_id").alias("conv_a"), F.col("sig").alias("sig_a"))
-    b = kept.select(F.col("modality"), F.col("key"), F.col("conv_id").alias("conv_b"), F.col("sig").alias("sig_b"))
+    if cfg.overflow == "split":
+        from blink_spark.operators import skew
+
+        kept, _ = skew.split_hot_blocks(keys, cfg.max_block_size)
+        join_cols = ["modality", "key", "salt"]
+    else:
+        kept, _ = cap_blocks(keys, cfg.max_block_size)
+        join_cols = ["modality", "key"]
+    sides = [F.col("modality"), F.col("key")] + ([F.col("salt")] if cfg.overflow == "split" else [])
+    a = kept.select(*sides, F.col("conv_id").alias("conv_a"), F.col("sig").alias("sig_a"))
+    b = kept.select(*sides, F.col("conv_id").alias("conv_b"), F.col("sig").alias("sig_b"))
     hamming_ok = (F.col("modality") != "simhash") | (
         F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= cfg.sim_max_hamming
     )
     shared = (
-        a.join(b, on=["modality", "key"])
+        a.join(b, on=join_cols)
         .where((F.col("conv_a") < F.col("conv_b")) & hamming_ok)
         .groupBy("conv_a", "conv_b", "modality")
         .agg(F.count(F.lit(1)).alias("n_shared"))
