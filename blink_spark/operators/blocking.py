@@ -72,19 +72,26 @@ class BlockingConfig:
     seed: int = 42
 
 
-def conversation_docs(transcripts: DataFrame) -> DataFrame:
+def conversation_docs(transcripts: DataFrame, max_turns: int = 1024) -> DataFrame:
     """Collapse turns into one canonical document per conversation.
 
     Stable ``(conv_id, turn_idx)`` ordering via ``array_sort`` over
     ``struct(turn_idx, text)`` — deterministic regardless of partitioning,
     and the raw turn text is never mutated (the per-turn text-equality
     invariant lives in the *source* table; this is a derived view).
+
+    ``max_turns`` bounds the per-conversation state: a degenerate
+    conversation (a bot loop emitting millions of turns) would otherwise
+    blow up the ``collect_list`` buffer on one executor. The filter is on
+    ``turn_idx`` (deterministic prefix), BEFORE the aggregation, so the
+    cap costs nothing and pushes into the scan. ``n_turns`` still counts
+    every turn — it is a scoring feature and must see the true size.
     """
     turn = F.struct(F.col("turn_idx"), F.col("text"))
     return (
         transcripts.groupBy("conv_id")
         .agg(
-            F.array_sort(F.collect_list(turn)).alias("turns"),
+            F.array_sort(F.collect_list(F.when(F.col("turn_idx") < max_turns, turn))).alias("turns"),
             F.count(F.lit(1)).alias("n_turns"),
         )
         .select(

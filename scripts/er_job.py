@@ -44,6 +44,8 @@ def parse_args(argv):
     p.add_argument("--labels", help="labeled_pairs parquet (conv_a, conv_b, is_match) for F1")
     p.add_argument("--threshold", type=float, default=None, help="override match threshold")
     p.add_argument("--max-block-size", type=int, default=None, help="override blocking skew cap")
+    p.add_argument("--overflow", choices=["drop", "split"], default=None,
+                   help="hot-block policy: drop the key or salt it into bounded sub-blocks")
     return p.parse_args(argv)
 
 
@@ -85,7 +87,9 @@ def main(argv=None) -> int:
     if args.threshold is not None:
         cfg.scoring = scoring.ScoringConfig(threshold=args.threshold)
     if args.max_block_size is not None:
-        cfg.blocking = blocking.BlockingConfig(max_block_size=args.max_block_size)
+        cfg.blocking.max_block_size = args.max_block_size
+    if args.overflow is not None:
+        cfg.blocking.overflow = args.overflow
 
     mgr = CheckpointManager(spark, args.checkpoint_dir, run_id=args.run_id)
     res = ERPipeline(cfg).run(spark, transcripts, checkpoints=mgr)
