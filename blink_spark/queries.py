@@ -1082,6 +1082,32 @@ def er_flagship_clusters(spark, sf_dir):
     return res.assignments.join(sizes, "cluster_id").select("conv_id", "cluster_id", "cluster_size")
 
 
+@q("er_f1_metrics", None)
+def er_f1_metrics(spark, sf_dir):
+    """The BASELINE.json gate as a queryable row: pairwise P/R/F1 of the
+    flagship ER run against the planted labels (expect F1 = 1.0)."""
+    from blink_spark import metrics, synth
+    from blink_spark.pipeline import ERPipeline
+
+    t, labels = synth.transcripts_df(spark, synth.SynthConfig(n_conversations=120, seed=42))
+    res = ERPipeline().run(spark, t, compute_metrics=False)
+    m = metrics.pairwise_f1(res.assignments, labels)
+    br = metrics.blocking_recall(res.pairs, labels)
+    return spark.createDataFrame(
+        [
+            (
+                float(m["precision"]),
+                float(m["recall"]),
+                float(m["f1"]),
+                int(m["tp"]),
+                int(m["gold_pos"]),
+                float(br["blocking_recall"]),
+            )
+        ],
+        "precision double, recall double, f1 double, tp long, gold_pairs long, blocking_recall double",
+    )
+
+
 @q("er_candidate_pairs", None)
 def er_candidate_pairs(spark, sf_dir):
     """Stage-1 blocking output: candidate pairs for the synthetic corpus."""
