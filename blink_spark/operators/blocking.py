@@ -141,6 +141,12 @@ def compute_features(docs: DataFrame, cfg: BlockingConfig | None = None) -> Data
             sh = H.simhash64(cgrams)
             sh_keys = H.simhash_band_keys(sh, bands=cfg.simhash_bands)
             vecs = H.vectors_from_hashes(cgrams, dim=cfg.vec_dim)
+            # empty documents emit NO blocking keys: the all-max MinHash
+            # sentinel (and SimHash 0) would otherwise band every empty
+            # conversation into one block and falsely cluster them — the
+            # engine's form of the reference's min-token filter
+            # (`data_ingestion.py:119-127`); empties resolve as singletons.
+            empty = [len(s) == 0 for s in shingle_sets]
             yield pd.DataFrame(
                 {
                     "conv_id": pdf["conv_id"],
@@ -148,8 +154,8 @@ def compute_features(docs: DataFrame, cfg: BlockingConfig | None = None) -> Data
                     "doc_head": [t[:_HEAD_CHARS] for t in texts],
                     "shingles": [s.view(np.int64).tolist() for s in shingle_sets],
                     "vec": list(vecs),
-                    "minhash_keys": [r.tolist() for r in mh_keys],
-                    "simhash_keys": [r.tolist() for r in sh_keys],
+                    "minhash_keys": [[] if e else r.tolist() for e, r in zip(empty, mh_keys)],
+                    "simhash_keys": [[] if e else r.tolist() for e, r in zip(empty, sh_keys)],
                     "simhash": sh,
                 }
             )

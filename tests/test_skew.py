@@ -110,3 +110,25 @@ def test_pipeline_f1_survives_planted_boilerplate_skew(spark):
     assert m["f1"] >= 0.99, m
     n_convs = t.select("conv_id").distinct().count()
     assert res.pairs.count() < 20 * n_convs  # no quadratic blow-up
+
+
+def test_empty_conversations_stay_singletons(spark):
+    """All-empty-text conversations must NOT cluster together: the MinHash
+    empty-set sentinel would band them into one block without the
+    empty-doc guard in compute_features."""
+    from blink_spark import synth
+    from blink_spark.pipeline import ERPipeline
+
+    t, _ = synth.transcripts_df(spark, synth.SynthConfig(n_conversations=30, seed=5))
+    empties = spark.createDataFrame(
+        [(f"empty_{i}", 0, "user", "", None, synth._EPOCH) for i in range(10)],
+        synth.TRANSCRIPT_SCHEMA,
+    )
+    res = ERPipeline().run(spark, t.unionByName(empties), compute_metrics=False)
+    got = {
+        r["conv_id"]: r["cluster_id"]
+        for r in res.assignments.where(F.col("conv_id").startswith("empty_")).collect()
+    }
+    assert len(got) == 10
+    for cid, cl in got.items():
+        assert cl == cid, f"{cid} clustered into {cl}"
