@@ -45,16 +45,26 @@ def word_window(col: Column, last_n: int, first_n: int) -> Column:
     )
 
 
-def token_ngrams(col: Column, n: int = 3) -> Column:
-    """Array of n-token shingles (JVM-side, via ``transform`` over a
-    ``sequence`` of start offsets). Short texts yield the whole text as
-    one shingle — mirrors :func:`blink_spark.functions.hashing.token_shingles`."""
-    t = tokens(col)
+def token_ngrams_from_tokens(t: Column, n: int = 3) -> Column:
+    """Array of n-token shingles from an ALREADY-MATERIALIZED token array
+    column. Callers must project the token array into a named column
+    first: inlining ``tokens(col)`` here would re-evaluate the
+    canonicalize regex once per ``element_at`` — 3n× per gram (measured
+    ~4× slowdown of the whole n-gram stage)."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
         lambda i: F.concat_ws(" ", *[F.element_at(t, (i + F.lit(j)).cast("int")) for j in range(n)]),
     )
     return F.when(F.size(t) >= n, grams).otherwise(F.array(F.array_join(t, " ")))
+
+
+def token_ngrams(col: Column, n: int = 3) -> Column:
+    """Array of n-token shingles of raw text. Short texts yield the whole
+    text as one shingle — mirrors
+    :func:`blink_spark.functions.hashing.token_shingles`. Prefer
+    projecting :func:`tokens` to a column and calling
+    :func:`token_ngrams_from_tokens` in hot paths (see its docstring)."""
+    return token_ngrams_from_tokens(tokens(col), n)
 
 
 def quality_features(col: Column) -> dict[str, Column]:

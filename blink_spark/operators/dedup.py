@@ -24,7 +24,7 @@ from pyspark.sql import types as T
 
 from blink_spark.functions import hashing as H
 from blink_spark.functions import strsim
-from blink_spark.functions.text import canonicalize, token_ngrams
+from blink_spark.functions.text import canonicalize, token_ngrams_from_tokens, tokens
 from blink_spark.operators import clustering
 
 
@@ -122,8 +122,8 @@ def ngram_jaccard_pairs(
     JVM-side set algebra (``array_intersect``/``array_union``) — no Python.
     Returns (doc_a, doc_b, jaccard).
     """
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"), F.array_distinct(token_ngrams(F.col(text_col), n)).alias("g")
+    grams = docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t")).select(
+        "doc_id", F.array_distinct(token_ngrams_from_tokens(F.col("t"), n)).alias("g")
     )
     ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
     gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))

@@ -20,7 +20,12 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from blink_spark.functions.text import canonicalize, token_ngrams, tokens, word_window
+from blink_spark.functions.text import (
+    canonicalize,
+    token_ngrams_from_tokens,
+    tokens,
+    word_window,
+)
 from blink_spark.operators import dedup, multimodal, similarity, spans, textstats
 
 _CANON_SQL = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
@@ -251,7 +256,9 @@ def j4_token_blocking_join(spark, sf_dir):
     (`blink/candidate_generation.py:68-115`): explode shingles ⋈ shingles,
     count shared keys per pair."""
     d = _t(spark, sf_dir, "documents")
-    g = d.select("doc_id", F.explode(F.array_distinct(token_ngrams(F.col("text"), 3))).alias("gram"))
+    g = d.select("doc_id", tokens(F.col("text")).alias("t")).select(
+        "doc_id", F.explode(F.array_distinct(token_ngrams_from_tokens(F.col("t"), 3))).alias("gram")
+    )
     a = g.select(F.col("doc_id").alias("doc_a"), "gram")
     b = g.select(F.col("doc_id").alias("doc_b"), "gram")
     return (
