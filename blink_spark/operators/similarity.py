@@ -82,6 +82,10 @@ def hyperplane_buckets(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         planes = None
         for pdf in batches:
+            if len(pdf) == 0:  # Arrow can hand over zero-row batches; no
+                # planes are derivable (or needed) from them
+                yield pd.DataFrame({"vec_id": pd.Series([], dtype="int64"), "buckets": []})
+                continue
             vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             if planes is None:
                 rng = np.random.RandomState(seed)

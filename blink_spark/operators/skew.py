@@ -39,15 +39,20 @@ def split_hot_blocks(
     id_col: str = "conv_id",
     key_cols: tuple[str, ...] = ("modality", "key"),
 ) -> tuple[DataFrame, DataFrame]:
-    """Salt oversized blocks into sub-blocks of ≤ ``max_block_size`` members.
+    """Salt oversized blocks into sub-blocks of ~``max_block_size`` EXPECTED
+    members (hash-salting bounds the mean, not the max: a residual hot
+    sub-block can exceed the cap severalfold, which test_skew tolerates).
 
     Input: one row per (member, blocking key). Output: same rows with the
     key replaced by ``(key, salt)`` for hot keys (salt = 0 otherwise), plus
     a small stats DataFrame of the keys that were split (for lineage
-    metrics). A block of size B becomes ⌈B / max⌉ sub-blocks; candidate
-    pairs then form within sub-blocks only, so pair volume per key drops
-    from B² to ≈ B·max — linear in B, which is the property that keeps a
-    10^12-row corpus's worst key from dominating the whole job.
+    metrics). A block of size B becomes ⌈B / max⌉ sub-blocks of expected
+    size ≈ max; candidate pairs then form within sub-blocks only, so pair
+    volume per key drops from B² to O(B·max) in expectation — linear in B,
+    which is the property that keeps a 10^12-row corpus's worst key from
+    dominating the whole job. (A hard per-sub-block bound would need
+    ``row_number`` over a deterministic order — an extra sort per hot key;
+    the expected bound is the better trade at this pair-volume math.)
     """
     sizes = keys.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("block_size"))
     hot = sizes.where(F.col("block_size") > max_block_size)

@@ -60,7 +60,7 @@ def q(name: str, oracle: str | None):
 @q(
     "s1_catalog_scan",
     """SELECT CAST(regexp_extract(source, 'src(\\d+)', 1) AS BIGINT) AS src_id,
-              COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+              COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
        FROM documents GROUP BY 1""",
 )
 def s1_catalog_scan(spark, sf_dir):
@@ -241,12 +241,17 @@ def j8_link_count_join(spark, sf_dir):
     )
 
 
+_J4_MAX_DF = 64  # hot-gram cap: grams in more docs than this are dropped
+
+
 @q(
     "j4_token_blocking_join",
-    f"""WITH g AS (
+    f"""WITH g0 AS (
           SELECT doc_id, unnest(grams) AS gram FROM (
             SELECT doc_id, {_GRAMS_SQL} AS grams
-            FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)))
+            FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents))),
+        keep AS (SELECT gram FROM g0 GROUP BY gram HAVING COUNT(*) <= {_J4_MAX_DF}),
+        g AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN keep USING (gram))
        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
        GROUP BY 1, 2 HAVING COUNT(*) >= 5""",
@@ -254,11 +259,20 @@ def j8_link_count_join(spark, sf_dir):
 def j4_token_blocking_join(spark, sf_dir):
     """J4: token-blocking equi-join, the BM25-retrieval analog
     (`blink/candidate_generation.py:68-115`): explode shingles ⋈ shingles,
-    count shared keys per pair."""
+    count shared keys per pair.
+
+    Hot grams (document frequency > ``_J4_MAX_DF``) are dropped before the
+    self-join — the same `cap_blocks` guard as the real blocking path
+    (`operators/blocking.py`): a single boilerplate gram shared by B docs
+    would otherwise emit B² join rows, the ER scale killer. The oracle
+    applies the identical cap.
+    """
     d = _t(spark, sf_dir, "documents")
     g = d.select("doc_id", tokens(F.col("text")).alias("t")).select(
         "doc_id", F.explode(F.array_distinct(token_ngrams_from_tokens(F.col("t"), 3))).alias("gram")
     )
+    hot = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > _J4_MAX_DF)
+    g = g.join(F.broadcast(hot.select("gram")), "gram", "left_anti")
     a = g.select(F.col("doc_id").alias("doc_a"), "gram")
     b = g.select(F.col("doc_id").alias("doc_b"), "gram")
     return (
@@ -473,7 +487,8 @@ def a6_rollup_by_group(spark, sf_dir):
 
 @q(
     "a7_cumulative_histogram",
-    """SELECT event_type, n, SUM(n) OVER (ORDER BY event_type) AS cum
+    """SELECT event_type, n,
+              CAST(SUM(n) OVER (ORDER BY event_type) AS BIGINT) AS cum
        FROM (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1)""",
 )
 def a7_cumulative_histogram(spark, sf_dir):
@@ -635,7 +650,7 @@ def t1_time_window_agg(spark, sf_dir):
                      THEN 1 ELSE 0 END AS new_s
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         s AS (SELECT user_id, ts,
-                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+                     CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_id
               FROM g)
        SELECT user_id, session_id, COUNT(*) AS n_events,
               MIN(ts) AS session_start, MAX(ts) AS session_end

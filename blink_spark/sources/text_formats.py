@@ -76,7 +76,12 @@ def parse_conll(spark: SparkSession, path: str) -> DataFrame:
             "token_idx",
             "token",
             "tag",
-            F.when(F.col("tag") != "O", F.col("b_count") - 1).alias("mention_id"),
+            # b_count > 0 guard: an I-tagged token before any B tag in the
+            # doc is an orphan run — the reference's stateful parse ignores
+            # I without a preceding B, so it must NOT fabricate mention −1
+            F.when((F.col("tag") != "O") & (F.col("b_count") > 0), F.col("b_count") - 1).alias(
+                "mention_id"
+            ),
         )
     )
     return out

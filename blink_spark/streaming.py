@@ -17,11 +17,19 @@ and kernels run under ``readStream`` with watermarks. Three surfaces:
   table (re-clustering is global by nature — transitive closure cannot be
   finalized per-batch without cross-batch state).
 
-Caveat, stated rather than hidden: a conversation whose turns span
-micro-batches would be featurized from a prefix. Production ingestion
-should close conversations upstream (session gap / end marker) or
-re-featurize conv_ids seen again — the ``mode="upsert"`` path overwrites
-refreshed conversations via dynamic partition overwrite.
+Caveats, stated rather than hidden:
+
+* a conversation whose turns span micro-batches would be featurized from a
+  prefix. Production ingestion should close conversations upstream
+  (session gap / end marker) or re-featurize conv_ids seen again via an
+  upsert sink (e.g. Iceberg MERGE / dynamic partition overwrite keyed on
+  conv_id) — not implemented here.
+* the plain ``append`` parquet write inside ``foreachBatch`` is NOT
+  idempotent: a micro-batch replay after a failure between the write and
+  the checkpoint commit duplicates that batch's feature rows. A
+  transactional sink (Iceberg) or per-batch-id partition directories
+  (``.../batch_id=<id>`` overwritten atomically) makes replays exact-once;
+  parquet-append is the sandbox simplification.
 """
 
 from __future__ import annotations

@@ -127,6 +127,18 @@ def test_hyperplane_buckets_deterministic(spark, embeddings):
     assert b1 == b2
 
 
+def test_hyperplane_buckets_empty_and_sparse_partitions(spark, embeddings):
+    """Zero-row Arrow batches must not crash the bucket kernel (regression:
+    np.array([]) of an empty series has no shape[1])."""
+    empty = embeddings.where(F.lit(False))
+    assert similarity.hyperplane_buckets(empty).count() == 0
+    # more partitions than rows → some partitions are empty
+    sparse = embeddings.limit(3).repartition(16)
+    out = {r["vec_id"]: r["buckets"] for r in similarity.hyperplane_buckets(sparse, seed=1).collect()}
+    full = {r["vec_id"]: r["buckets"] for r in similarity.hyperplane_buckets(embeddings, seed=1).collect()}
+    assert out == {k: full[k] for k in out}
+
+
 # ---- multimodal plumbing ----------------------------------------------------
 
 def test_extract_features_deterministic_and_shaped(spark):

@@ -117,6 +117,31 @@ def test_conll_parse_spans(spark):
     assert isinstance(m.mention, str) and len(m.mention) > 0
 
 
+def test_conll_orphan_i_tokens_ignored(spark, tmp_path):
+    """An I-tagged token with no preceding B in its doc is an orphan run —
+    the reference's stateful parse skips it; no phantom mention −1."""
+    path = str(tmp_path / "orphan.conll")
+    with open(path, "w") as f:
+        f.write(
+            "-DOCSTART- (0)\n"
+            "stray\tI\n"      # orphan I before any B → no mention
+            "alpha\tO\n"
+            "Bob\tB\n"
+            "Smith\tI\n"
+            "\n"
+            "-DOCSTART- (1)\n"
+            "lone\tI\n"       # doc that is ONLY an orphan I run
+            "\n"
+        )
+    toks = text_formats.parse_conll(spark, path)
+    mentions = text_formats.conll_mentions(toks)
+    rows = sorted(map(tuple, mentions.select("doc_id", "mention_id", "mention").collect()))
+    assert rows == [(0, 0, "Bob Smith")]
+    # the orphan tokens are still scanned, just unassigned
+    assert toks.where(F.col("token") == "stray").count() == 1
+    assert toks.where(F.col("token") == "stray").first().mention_id is None
+
+
 def test_jsonl_roundtrip(spark, tmp_path):
     """S14: JSONL writer/reader round-trip (`blink/utils.py:110-117`)."""
     df = spark.createDataFrame(
