@@ -90,29 +90,79 @@ def token_shingles(tokens: list[str], k: int = 3) -> np.ndarray:
     return np.unique(_combine_windows(stable_hash64(tokens), k))
 
 
+_EMPTY_U64 = np.empty(0, dtype=np.uint64)
+
+
+def _window_hash_batch(seqs: list[np.ndarray], k: int) -> list[np.ndarray]:
+    """Per-sequence sliding-window combine computed over ONE flat array.
+
+    Sequences are laid out in a single buffer with ``k-1`` gap slots between
+    them, :func:`_combine_windows` runs ONCE over the whole buffer, and each
+    sequence's valid windows are sliced back out by position (views, no
+    copies) — windows that would span two sequences land in the gap region
+    and are never read. Sequences shorter than ``k`` take the scalar
+    single-hash path (they are O(k) each). Identical output to calling
+    ``_combine_windows`` per sequence.
+    """
+    D = len(seqs)
+    sizes = np.fromiter((len(s) for s in seqs), count=D, dtype=np.int64)
+    out: list[np.ndarray] = [_EMPTY_U64] * D
+    for i in np.nonzero((sizes > 0) & (sizes < k))[0]:
+        out[i] = _combine_windows(seqs[i], k)
+    long_ids = np.nonzero(sizes >= k)[0]
+    if len(long_ids):
+        m = sizes[long_ids]
+        starts = np.zeros(len(long_ids), dtype=np.int64)
+        np.cumsum(m[:-1] + (k - 1), out=starts[1:])
+        flat = np.zeros(int(starts[-1] + m[-1]), dtype=np.uint64)
+        for j, i in enumerate(long_ids):
+            flat[starts[j] : starts[j] + m[j]] = seqs[i]
+        acc = _combine_windows(flat, k)
+        for j, i in enumerate(long_ids):
+            out[i] = acc[starts[j] : starts[j] + m[j] - k + 1]
+    return out
+
+
+def _unique_per_doc(win: list[np.ndarray]) -> list[np.ndarray]:
+    """Batched per-document ``np.unique``: one lexsort of (doc, value) over
+    the whole batch, adjacent-duplicate mask, slice back per doc. Output
+    arrays are uint64-ascending like ``np.unique``'s."""
+    D = len(win)
+    wsizes = np.fromiter((len(w) for w in win), count=D, dtype=np.int64)
+    if wsizes.sum() == 0:
+        return [_EMPTY_U64] * D
+    vals = np.concatenate([w for w in win if len(w)])
+    dids = np.repeat(np.arange(D), wsizes)
+    order = np.lexsort((vals, dids))
+    sv, sd = vals[order], dids[order]
+    keep = np.empty(len(sv), dtype=bool)
+    keep[0] = True
+    keep[1:] = (sv[1:] != sv[:-1]) | (sd[1:] != sd[:-1])
+    uv, ud = sv[keep], sd[keep]
+    counts = np.bincount(ud, minlength=D)
+    ends = np.cumsum(counts)
+    return [uv[ends[i] - counts[i] : ends[i]] for i in range(D)]
+
+
 def token_shingles_batch(token_lists: list[list[str]], k: int = 3) -> list[np.ndarray]:
     """Batch :func:`token_shingles`: one ``stable_hash64`` call for the whole
-    Arrow batch (per-call overhead dominates on small documents), then a
-    vectorized window combine per document. Identical output to the
-    single-document function."""
+    Arrow batch, ONE vectorized window combine over a gap-padded flat buffer
+    (:func:`_window_hash_batch`), and ONE batched dedup sort
+    (:func:`_unique_per_doc`) — no per-document numpy calls. Identical
+    output to the single-document function."""
+    D = len(token_lists)
     flat: list[str] = []
-    sizes = np.empty(len(token_lists), dtype=np.int64)
+    sizes = np.empty(D, dtype=np.int64)
     for i, lst in enumerate(token_lists):
         sizes[i] = len(lst)
         flat.extend(lst)
-    empty = np.empty(0, dtype=np.uint64)
     if not flat:
-        return [empty for _ in token_lists]
+        return [_EMPTY_U64] * D
     h = stable_hash64(flat)
-    out = []
-    off = 0
-    for n in sizes:
-        if n == 0:
-            out.append(empty)
-        else:
-            out.append(np.unique(_combine_windows(h[off : off + n], k)))
-        off += n
-    return out
+    offs = np.zeros(D, dtype=np.int64)
+    np.cumsum(sizes[:-1], out=offs[1:])
+    seqs = [h[offs[i] : offs[i] + sizes[i]] for i in range(D)]
+    return _unique_per_doc(_window_hash_batch(seqs, k))
 
 
 def char_ngrams_hashed(text: str, n: int = 3) -> np.ndarray:
@@ -125,6 +175,33 @@ def char_ngrams_hashed(text: str, n: int = 3) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
     return _combine_windows(cps, n)
+
+
+def char_ngrams_hashed_batch(texts: list[str], n: int = 3) -> list[np.ndarray]:
+    """Batch :func:`char_ngrams_hashed`: ONE encode + ONE window combine for
+    the whole Arrow batch. Texts are joined with ``n-1`` padding characters
+    between them; each text's windows are sliced back out by position, so
+    windows spanning two texts are never read (the pad character's value is
+    irrelevant — selection is positional). Identical output to the
+    single-document function (asserted in tests)."""
+    D = len(texts)
+    sizes = np.fromiter((len(t) for t in texts), count=D, dtype=np.int64)
+    out: list[np.ndarray] = [_EMPTY_U64] * D
+    if sizes.sum() == 0:
+        return out
+    joined = ("\x00" * (n - 1)).join(texts)
+    cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    starts = np.zeros(D, dtype=np.int64)
+    np.cumsum(sizes[:-1] + (n - 1), out=starts[1:])
+    acc = _combine_windows(cps, n) if len(cps) >= n else None
+    for i in range(D):
+        if sizes[i] == 0:
+            continue
+        if sizes[i] < n or acc is None:
+            out[i] = _combine_windows(cps[starts[i] : starts[i] + sizes[i]], n)
+        else:
+            out[i] = acc[starts[i] : starts[i] + sizes[i] - n + 1]
+    return out
 
 
 class MinHasher:
@@ -244,13 +321,20 @@ def simhash64(
         concat = np.concatenate([feature_hashes[i] for i in idx])
         offsets = np.zeros(len(idx), dtype=np.int64)
         np.cumsum(ne_sizes[start : end - 1], out=offsets[1:])
-        bits = ((concat[:, None] >> bit_idx[None, :]) & _U64(1)).astype(np.float32)
+        # one C call instead of 64 shift/mask passes: little-endian byte
+        # view + unpackbits(bitorder little) puts bit j in column j
+        bits = np.unpackbits(
+            np.ascontiguousarray(concat).view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )
         if weights is not None:
             w = np.concatenate([np.asarray(weights[i], dtype=np.float32) for i in idx])
-            contrib = w[:, None] * (2.0 * bits - 1.0)
+            contrib = w[:, None] * (2.0 * bits.astype(np.float32) - 1.0)
+            score = np.add.reduceat(contrib, offsets, axis=0)  # (|idx|, 64)
         else:
-            contrib = 2.0 * bits - 1.0
-        score = np.add.reduceat(contrib, offsets, axis=0)  # (|idx|, 64)
+            # Σ(2b−1) = 2Σb − n: sum raw bits (uint8 → int64 accumulator)
+            # and rescale — skips materializing a float ±1 matrix entirely
+            ones = np.add.reduceat(bits, offsets, axis=0, dtype=np.int64)
+            score = 2 * ones - ne_sizes[start:end, None]
         bitvecs = (score > 0).astype(np.uint64)
         out[idx] = (bitvecs << bit_idx[None, :]).sum(axis=1, dtype=np.uint64)
         start = end

@@ -136,8 +136,9 @@ def compute_features(docs: DataFrame, cfg: BlockingConfig | None = None) -> Data
             shingle_sets = H.token_shingles_batch([t.split() for t in texts], k=cfg.shingle_k)
             sigs = mh.signatures(shingle_sets)
             mh_keys = mh.band_keys(sigs, cfg.minhash_bands)
-            # char n-gram hashes computed ONCE, reused by SimHash + vectors
-            cgrams = [H.char_ngrams_hashed(t, n=cfg.char_ngram) for t in texts]
+            # char n-gram hashes computed ONCE for the whole batch (single
+            # encode + window pass), reused by SimHash + vectors
+            cgrams = H.char_ngrams_hashed_batch(texts, n=cfg.char_ngram)
             sh = H.simhash64(cgrams)
             sh_keys = H.simhash_band_keys(sh, bands=cfg.simhash_bands)
             vecs = H.vectors_from_hashes(cgrams, dim=cfg.vec_dim)
@@ -203,13 +204,21 @@ def cap_blocks(keys: DataFrame, max_block_size: int) -> tuple[DataFrame, DataFra
     return kept, dropped
 
 
-def candidate_pairs(keys: DataFrame, cfg: BlockingConfig | None = None) -> DataFrame:
+def candidate_pairs(
+    keys: DataFrame, cfg: BlockingConfig | None = None, caches: list | None = None
+) -> DataFrame:
     """Self-equi-join on (modality, key) → canonical deduped candidate pairs.
 
     ``(least, greatest)`` canonicalization + ``dropDuplicates`` before the
     expensive stage-2 scorer (predicate/dedup pushdown by construction —
     the reference equivalently filters gold-missing pairs before its
     cross-encoder, ``blink/crossencoder/data_process.py:89-112``).
+
+    The capped key set feeds THREE subplans (size agg + both join sides),
+    so it is persisted — at production scale this intermediate would be a
+    checkpoint table. The persisted handle is appended to ``caches`` (if
+    given) so callers can release it; ``ERPipeline`` wires this to
+    ``PipelineResult.unpersist()``.
     """
     cfg = cfg or BlockingConfig()
     if cfg.overflow == "split":
@@ -220,6 +229,9 @@ def candidate_pairs(keys: DataFrame, cfg: BlockingConfig | None = None) -> DataF
     else:
         kept, _ = cap_blocks(keys, cfg.max_block_size)
         join_cols = ["modality", "key"]
+    kept = kept.persist()
+    if caches is not None:
+        caches.append(kept)
     sides = [F.col("modality"), F.col("key")] + ([F.col("salt")] if cfg.overflow == "split" else [])
     a = kept.select(*sides, F.col("conv_id").alias("conv_a"), F.col("sig").alias("sig_a"))
     b = kept.select(*sides, F.col("conv_id").alias("conv_b"), F.col("sig").alias("sig_b"))

@@ -56,7 +56,7 @@ def _minhash_keys_udf(docs: DataFrame, num_perm: int, bands: int, shingle_k: int
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         mh = H.MinHasher(num_perm=num_perm, seed=seed)
         for pdf in batches:
-            sets = [H.token_shingles((x or "").split(), k=shingle_k) for x in pdf["t"]]
+            sets = H.token_shingles_batch([(x or "").split() for x in pdf["t"]], k=shingle_k)
             keys = mh.band_keys(mh.signatures(sets), bands)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "keys": [k.tolist() for k in keys]})
 
@@ -149,7 +149,7 @@ def simhash_signatures(docs: DataFrame, ngram: int = 3, text_col: str = "text", 
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hs = H.simhash64([H.char_ngrams_hashed(x or "", ngram) for x in pdf["t"]])
+            hs = H.simhash64(H.char_ngrams_hashed_batch([x or "" for x in pdf["t"]], ngram))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": hs})
 
     return sub.mapInPandas(gen, schema=_SIMHASH_SCHEMA)

@@ -131,15 +131,11 @@ def _cheap_scores(pairs_with_features: DataFrame) -> DataFrame:
                 cos = np.clip(np.einsum("nd,nd->n", va, vb, dtype=np.float64), -1.0, 1.0)
             else:
                 cos = np.empty(0)
-            # shingle arrays arrive sorted (uint64 order survives the int64
-            # Arrow round-trip) → searchsorted merge, no concat+sort
-            jac = np.empty(n)
-            sh_a, sh_b = pdf["shingles_a"].to_numpy(), pdf["shingles_b"].to_numpy()
-            for i in range(n):
-                jac[i] = strsim.jaccard_sorted(
-                    np.asarray(sh_a[i], dtype=np.int64).view(np.uint64),
-                    np.asarray(sh_b[i], dtype=np.int64).view(np.uint64),
-                )
+            # whole-batch set intersection: one lexsort over every pair's
+            # elements tagged with pair ids — no per-pair Python loop
+            jac = strsim.jaccard_sorted_batch(
+                list(pdf["shingles_a"].to_numpy()), list(pdf["shingles_b"].to_numpy())
+            )
             yield pd.DataFrame(
                 {
                     "conv_a": pdf["conv_a"],
@@ -159,14 +155,12 @@ def _expensive_scores(undecided_with_heads: DataFrame) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n = len(pdf)
-            lev = np.empty(n)
-            jw = np.empty(n)
-            ha_col, hb_col = pdf["head_a"].to_numpy(), pdf["head_b"].to_numpy()
-            for i in range(n):
-                ha, hb = ha_col[i] or "", hb_col[i] or ""
-                lev[i] = strsim.levenshtein_ratio(ha, hb)
-                jw[i] = strsim.jaro_winkler(ha[:64], hb[:64])
+            # batched DP across all pairs at once (masked numpy) — each DP
+            # step covers the whole batch instead of one pair
+            ha = [h or "" for h in pdf["head_a"].to_numpy()]
+            hb = [h or "" for h in pdf["head_b"].to_numpy()]
+            lev = strsim.levenshtein_ratio_batch(ha, hb)
+            jw = strsim.jaro_winkler_batch([h[:64] for h in ha], [h[:64] for h in hb])
             yield pd.DataFrame(
                 {
                     "conv_a": pdf["conv_a"],
@@ -183,7 +177,12 @@ def _expensive_scores(undecided_with_heads: DataFrame) -> DataFrame:
     return undecided_with_heads.mapInPandas(gen, schema=_EXP_SCHEMA)
 
 
-def score_pairs(pairs: DataFrame, features: DataFrame, cfg: ScoringConfig | None = None) -> DataFrame:
+def score_pairs(
+    pairs: DataFrame,
+    features: DataFrame,
+    cfg: ScoringConfig | None = None,
+    caches: list | None = None,
+) -> DataFrame:
     """Score candidate pairs → per-feature columns + blended ``score``.
 
     Decided-without-edit-distance rows report NaN for lev/jw and a
@@ -192,6 +191,11 @@ def score_pairs(pairs: DataFrame, features: DataFrame, cfg: ScoringConfig | None
       full_blend ≤ core + w_exp        (lev = jw = 1 upper bound)
     so ``core_n ≥ τ/w_core`` accepts and ``core_n < (τ−w_exp)/w_core``
     rejects without ever reading the text heads.
+
+    The pass-1 result is persisted (it feeds both the decided and the
+    undecided branches — a deliberate barrier, see PLANS.md); the handle is
+    appended to ``caches`` (if given) so long-lived drivers can release it
+    after the scored output is materialized.
     """
     cfg = cfg or ScoringConfig()
     w_exp = cfg.w_lev + cfg.w_jw
@@ -206,6 +210,8 @@ def score_pairs(pairs: DataFrame, features: DataFrame, cfg: ScoringConfig | None
         + cfg.w_turns * F.col("turn_agree")
     )
     base = cheap.withColumns({"core": core, "core_n": core / F.lit(w_core_total)}).persist()
+    if caches is not None:
+        caches.append(base)
 
     nan = F.lit(float("nan"))
     decided = base.where((F.col("core_n") < lo_core) | (F.col("core_n") >= hi_core)).select(

@@ -40,11 +40,31 @@ class PipelineResult:
     edges: DataFrame
     assignments: DataFrame
     metrics: dict
+    caches: list = field(default_factory=list)
+
+    def unpersist(self, blocking: bool = False) -> None:
+        """Release every DataFrame this run persisted (stage outputs and
+        operator-internal caches). Call after the results have been
+        materialized/written — long-lived drivers running many pipelines
+        otherwise accumulate cached partitions until LRU pressure."""
+        for df in self.caches:
+            df.unpersist(blocking)
+        self.caches.clear()
 
 
 class ERPipeline:
     def __init__(self, config: PipelineConfig | None = None):
         self.config = config or PipelineConfig()
+        # persisted-DataFrame registry: stage persists + operator-internal
+        # persists (blocking's capped keys, scoring's pass-1 barrier) land
+        # here and are released via PipelineResult.unpersist()
+        self.caches: list[DataFrame] = []
+
+    def unpersist(self, blocking: bool = False) -> None:
+        """Release caches registered by stage methods called standalone."""
+        for df in self.caches:
+            df.unpersist(blocking)
+        self.caches.clear()
 
     # -- stage wrappers (each independently usable) ----------------------
     def build_docs(self, transcripts: DataFrame) -> DataFrame:
@@ -55,10 +75,10 @@ class ERPipeline:
 
     def block(self, features: DataFrame) -> DataFrame:
         keys = blocking.block_keys(features)
-        return blocking.candidate_pairs(keys, self.config.blocking)
+        return blocking.candidate_pairs(keys, self.config.blocking, caches=self.caches)
 
     def score(self, pairs: DataFrame, features: DataFrame) -> DataFrame:
-        return scoring.score_pairs(pairs, features, self.config.scoring)
+        return scoring.score_pairs(pairs, features, self.config.scoring, caches=self.caches)
 
     def cluster(self, edges: DataFrame) -> DataFrame:
         return clustering.connected_components(edges, max_iter=self.config.cc_max_iter)
@@ -84,7 +104,9 @@ class ERPipeline:
                 # stage is computed once, not re-derived per downstream action
                 # (the reference equivalently caches entity encodings,
                 # eval_biencoder.py:229-253)
-                return fn().persist()
+                df = fn().persist()
+                self.caches.append(df)
+                return df
             return checkpoints.stage(name, fn, partition_by=partition_by)
 
         docs = ck("s0_docs", lambda: self.build_docs(transcripts))
@@ -111,7 +133,7 @@ class ERPipeline:
         if checkpoints is not None:
             metrics["stages_written"] = list(checkpoints.stages_written)
             metrics["stages_resumed"] = list(checkpoints.stages_resumed)
-        return PipelineResult(
+        result = PipelineResult(
             docs=docs,
             features=features,
             pairs=pairs,
@@ -119,4 +141,7 @@ class ERPipeline:
             edges=edges,
             assignments=full_assignments,
             metrics=metrics,
+            caches=self.caches,
         )
+        self.caches = []  # ownership moves to the result
+        return result

@@ -1115,6 +1115,7 @@ def er_f1_metrics(spark, sf_dir):
     res = ERPipeline().run(spark, t, compute_metrics=False)
     m = metrics.pairwise_f1(res.assignments, labels)
     br = metrics.blocking_recall(res.pairs, labels)
+    res.unpersist()  # metrics are driver scalars now; release stage caches
     return spark.createDataFrame(
         [
             (

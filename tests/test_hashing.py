@@ -135,3 +135,71 @@ def test_vectors_from_hashes_matches_single():
     batch = H.vectors_from_hashes(grams, dim=64)
     for t, row in zip(texts, batch):
         assert np.allclose(row, H.hashed_ngram_vector(t, dim=64))
+
+
+# ---- batched strsim kernels: exact equivalence with the scalar versions ----
+
+def _rand_strings(rng, n, alpha="abcdef gh", max_len=40):
+    out = []
+    for _ in range(n):
+        k = rng.randint(0, max_len)
+        out.append("".join(rng.choice(list(alpha)) for _ in range(k)))
+    return out
+
+
+def test_levenshtein_batch_matches_scalar():
+    import random
+
+    rng = random.Random(3)
+    a = _rand_strings(rng, 200) + ["", "abc", "same", "", "x" * 600]
+    b = _rand_strings(rng, 200) + ["abc", "", "same", "", "x" * 599 + "y"]
+    got = strsim.levenshtein_ratio_batch(a, b)
+    for i, (x, y) in enumerate(zip(a, b)):
+        assert got[i] == pytest.approx(strsim.levenshtein_ratio(x, y)), (i, x, y)
+
+
+def test_jaro_winkler_batch_matches_scalar():
+    import random
+
+    rng = random.Random(4)
+    a = _rand_strings(rng, 300) + ["MARTHA", "DIXON", "", "x", "same"]
+    b = _rand_strings(rng, 300) + ["MARHTA", "DICKSONX", "x", "", "same"]
+    got = strsim.jaro_winkler_batch(a, b)
+    for i, (x, y) in enumerate(zip(a, b)):
+        assert got[i] == pytest.approx(strsim.jaro_winkler(x, y)), (i, x, y)
+
+
+def test_jaccard_batch_matches_scalar():
+    rng = np.random.RandomState(5)
+    sets_a, sets_b = [], []
+    for _ in range(200):
+        pool = rng.randint(0, 50, size=rng.randint(0, 30)).astype(np.uint64)
+        sets_a.append(np.unique(pool))
+        pool2 = rng.randint(0, 50, size=rng.randint(0, 30)).astype(np.uint64)
+        sets_b.append(np.unique(pool2))
+    sets_a += [np.empty(0, np.uint64), np.empty(0, np.uint64)]
+    sets_b += [np.empty(0, np.uint64), np.unique(rng.randint(0, 9, 5).astype(np.uint64))]
+    got = strsim.jaccard_sorted_batch(sets_a, sets_b)
+    for i, (x, y) in enumerate(zip(sets_a, sets_b)):
+        assert got[i] == pytest.approx(strsim.jaccard_sorted(x, y)), i
+
+
+def test_char_ngrams_batch_matches_scalar():
+    texts = ["hello world", "", "ab", "abc", "x", "hello world again and again", "\x00weird\x00"]
+    got = H.char_ngrams_hashed_batch(texts, n=3)
+    for t, g in zip(texts, got):
+        exp = H.char_ngrams_hashed(t, n=3)
+        assert np.array_equal(g, exp), t
+
+
+def test_token_shingles_batch_matches_scalar():
+    import random
+
+    rng = random.Random(9)
+    lists = [
+        ["tok%d" % rng.randint(0, 30) for _ in range(rng.randint(0, 25))] for _ in range(120)
+    ] + [[], ["a"], ["a", "b"], ["a", "b", "c"], ["dup", "dup", "dup", "dup"]]
+    got = H.token_shingles_batch(lists, k=3)
+    for lst, g in zip(lists, got):
+        exp = H.token_shingles(lst, k=3)
+        assert np.array_equal(g, exp), lst
