@@ -67,6 +67,35 @@ def token_ngrams(col: Column, n: int = 3) -> Column:
     return token_ngrams_from_tokens(tokens(col), n)
 
 
+def context_quota_window(left: Column, mention: Column, right: Column, max_tokens: int) -> Column:
+    """P10: token-budget context window with left/right quota redistribution
+    (`blink/biencoder/data_process.py:26-69`, quota logic `:45-57`).
+
+    Base quotas: ``left = (max - |mention|) // 2 - 1``,
+    ``right = max - |mention| - left - 2`` (the reference reserves 2 slots
+    for [CLS]/[SEP]; kept for parity). If one context is shorter than its
+    quota while the other overflows, the unused slots move to the long
+    side. Pure column expressions — no UDF.
+
+    One deliberate divergence: quotas are clamped at 0. The reference's
+    ``left[-left_quota:]`` with quota 0 is Python's ``[-0:]`` — the WHOLE
+    left context, exceeding the budget; we take the empty window instead.
+    """
+    la, ra, ma = F.size(left), F.size(right), F.size(mention)
+    lq0 = F.floor((F.lit(max_tokens) - ma) / 2).cast("int") - 1
+    rq0 = F.lit(max_tokens) - ma - lq0 - 2
+    rq = F.when((la <= lq0) & (ra > rq0), rq0 + lq0 - la).otherwise(rq0)
+    lq = F.when((la > lq0) & (ra <= rq0), lq0 + rq0 - ra).otherwise(lq0)
+    take_l = F.greatest(F.least(la, lq), F.lit(0)).cast("int")
+    take_r = F.greatest(F.least(ra, rq), F.lit(0)).cast("int")
+    # slice start −0 is invalid, so the empty-take case is explicit
+    left_part = F.when(take_l > 0, F.slice(left, -take_l, take_l)).otherwise(
+        F.array().cast("array<string>")
+    )
+    right_part = F.slice(right, 1, take_r)
+    return F.concat(left_part, mention, right_part)
+
+
 def quality_features(col: Column) -> dict[str, Column]:
     """Cheap document-quality signals for training-data pipelines:
     length, punctuation ratio, stopword ratio, mean word length, alpha ratio."""

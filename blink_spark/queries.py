@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from blink_spark.functions.text import (
     canonicalize,
+    context_quota_window,
     token_ngrams_from_tokens,
     tokens,
     word_window,
@@ -185,6 +186,150 @@ def p9_lag_lead(spark, sf_dir):
     )
 
 
+@q(
+    "p10_context_quota_fit",
+    f"""WITH base AS (
+          SELECT doc_id,
+                 t[2 : 1 + CAST(doc_id % 8 AS INT)] AS l,
+                 t[10:11] AS m,
+                 t[12:17] AS r
+          FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)),
+        q1 AS (SELECT doc_id, l, m, r, len(l) AS la, len(r) AS ra,
+                      CAST(floor((8 - len(m)) / 2.0) AS INT) - 1 AS lq0
+               FROM base),
+        q2 AS (SELECT *, 8 - len(m) - lq0 - 2 AS rq0 FROM q1),
+        q3 AS (SELECT *,
+                      CASE WHEN la <= lq0 AND ra > rq0 THEN rq0 + lq0 - la ELSE rq0 END AS rq,
+                      CASE WHEN la > lq0 AND ra <= rq0 THEN lq0 + rq0 - ra ELSE lq0 END AS lq
+               FROM q2),
+        q4 AS (SELECT doc_id, l, m, r,
+                      GREATEST(LEAST(la, lq), 0) AS take_l,
+                      GREATEST(LEAST(ra, rq), 0) AS take_r
+               FROM q3),
+        fit AS (SELECT doc_id,
+                       (CASE WHEN take_l > 0 THEN l[len(l) - take_l + 1 : len(l)]
+                             ELSE CAST([] AS VARCHAR[]) END)
+                       || m || r[1:take_r] AS ctx_arr
+                FROM q4)
+       SELECT doc_id, array_to_string(ctx_arr, ' ') AS ctx,
+              CAST(len(ctx_arr) AS BIGINT) AS n_ctx
+       FROM fit""",
+)
+def p10_context_quota_fit(spark, sf_dir):
+    """P10: token-window truncation with left/right quota redistribution
+    (`blink/biencoder/data_process.py:26-69`, quota logic `:45-57`) as pure
+    column expressions. Left context length varies with ``doc_id % 8`` so
+    both redistribution branches (short-left → extend right, short-right →
+    extend left) and the no-op branch are all exercised in one run."""
+    d = _t(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    parts = d.select(
+        "doc_id",
+        F.slice(t, 2, (F.col("doc_id") % 8).cast("int")).alias("l"),
+        F.slice(t, 10, 2).alias("m"),
+        F.slice(t, 12, 6).alias("r"),
+    )
+    fit = context_quota_window(F.col("l"), F.col("m"), F.col("r"), max_tokens=8)
+    return parts.select(
+        "doc_id", F.array_join(fit, " ").alias("ctx"), F.size(fit).cast("long").alias("n_ctx")
+    )
+
+
+@q(
+    "s9_link_extraction_chain",
+    f"""WITH h AS (
+          SELECT '<doc><a href="' || t[1] || '%20' || lang || '">t</a> <a href="'
+                 || lang || '_' || source || '">s</a></doc>' AS html
+          FROM (SELECT lang, source, {_TOKENS_SQL} AS t FROM documents)),
+        raw AS (SELECT unnest(regexp_extract_all(html, '<a href="([^"]+)"', 1)) AS raw FROM h),
+        norm AS (SELECT upper(substring(x, 1, 1)) || substring(x, 2) AS target
+                 FROM (SELECT replace(replace(raw, '%20', ' '), '_', ' ') AS x FROM raw))
+       SELECT target, COUNT(*) AS n_links FROM norm GROUP BY target""",
+)
+def s9_link_extraction_chain(spark, sf_dir):
+    """S9 → J8 chain: hyperlink extraction with unquote-style normalization
+    feeding the incoming-link count join
+    (`blink/candidate_retrieval/process_wiki_extractor_output_links.py:53-119`
+    regex fallback + urllib unquote `:86-88`; count agg `enrich_data.py:79-140`).
+
+    A deterministic html column is synthesized from each document (one
+    %20-quoted href + one underscore href), links come back out via
+    ``regexp_extract_all``, are unquoted / de-underscored / capitalized
+    like the reference, then counted per target."""
+    d = _t(spark, sf_dir, "documents")
+    first_tok = F.element_at(tokens(F.col("text")), 1)
+    html = F.concat(
+        F.lit('<doc><a href="'),
+        first_tok,
+        F.lit("%20"),
+        F.col("lang"),
+        F.lit('">t</a> <a href="'),
+        F.col("lang"),
+        F.lit("_"),
+        F.col("source"),
+        F.lit('">s</a></doc>'),
+    )
+    raw = d.select(html.alias("html")).select(
+        F.explode(F.regexp_extract_all(F.col("html"), F.lit('<a href="([^"]+)"'), 1)).alias("raw")
+    )
+    x = F.regexp_replace(F.regexp_replace(F.col("raw"), "%20", " "), "_", " ")
+    target = F.concat(F.upper(F.substring("x", 1, 1)), F.substring("x", 2, 1 << 20))
+    return (
+        raw.select(x.alias("x"))
+        .select(target.alias("target"))
+        .groupBy("target")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+@q(
+    "s10_nested_json",
+    """WITH j AS (
+         SELECT event_id,
+                '{"meta":{"type":"' || event_type || '","id":' || CAST(event_id AS VARCHAR) ||
+                CASE WHEN event_id % 3 <> 0
+                     THEN '},"sitelinks":{"enwiki":{"title":"u' || CAST(user_id AS VARCHAR) || '"}}}'
+                     ELSE '}}' END AS js
+         FROM events)
+       SELECT event_id,
+              json_extract_string(js, '$.meta.type') AS type,
+              COALESCE(json_extract_string(js, '$.sitelinks.enwiki.title'),
+                       'fallback_' || json_extract_string(js, '$.meta.type')) AS title
+       FROM j""",
+)
+def s10_nested_json(spark, sf_dir):
+    """S10: deep nested-JSON navigation with defaults
+    (`blink/candidate_retrieval/process_wikidata.py:48-99`, nested
+    ``sitelinks.enwiki`` access with fallbacks `:66-86`): a two-level JSON
+    document (every third row missing the ``sitelinks`` branch) parsed
+    with an explicit ``from_json`` struct schema, navigated two levels
+    deep, with a coalesce default on the missing branch."""
+    e = _t(spark, sf_dir, "events")
+    js = F.concat(
+        F.lit('{"meta":{"type":"'),
+        F.col("event_type"),
+        F.lit('","id":'),
+        F.col("event_id").cast("string"),
+        F.when(
+            F.col("event_id") % 3 != 0,
+            F.concat(
+                F.lit('},"sitelinks":{"enwiki":{"title":"u'),
+                F.col("user_id").cast("string"),
+                F.lit('"}}}'),
+            ),
+        ).otherwise(F.lit("}}")),
+    )
+    schema = "meta struct<type:string,id:bigint>, sitelinks struct<enwiki:struct<title:string>>"
+    p = e.select("event_id", F.from_json(js, schema).alias("o"))
+    return p.select(
+        "event_id",
+        F.col("o.meta.type").alias("type"),
+        F.coalesce(
+            F.col("o.sitelinks.enwiki.title"), F.concat(F.lit("fallback_"), F.col("o.meta.type"))
+        ).alias("title"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Joins (SURVEY §2.3)
 # ---------------------------------------------------------------------------
@@ -284,6 +429,127 @@ def j4_token_blocking_join(spark, sf_dir):
     )
 
 
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_MAX_DF = 64  # hot-token guard, same role as _J4_MAX_DF
+
+
+_BIGRAMS_SQL = (
+    "CASE WHEN len(t) >= 2 THEN "
+    "list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1]) "
+    "ELSE [array_to_string(t, ' ')] END"
+)
+
+
+@q(
+    "j4_bm25_scored_topk",
+    f"""WITH tok AS (
+          SELECT doc_id, unnest(g) AS tok
+          FROM (SELECT doc_id, {_BIGRAMS_SQL} AS g
+                FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents))),
+        tok2 AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok2 GROUP BY 1, 2),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        idf AS (SELECT tok, ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
+                FROM (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+                      HAVING COUNT(*) <= {_BM25_MAX_DF}), stats),
+        q AS (SELECT query_id, tok FROM (
+                SELECT doc_id AS query_id, unnest(list_sort(list_distinct(g))[1:6]) AS tok
+                FROM (SELECT doc_id, {_BIGRAMS_SQL} AS g
+                      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+                            WHERE doc_id % 20 = 0)))
+              WHERE tok <> ''),
+        scored AS (
+          SELECT q.query_id, tf.doc_id AS cand_id,
+                 SUM(idf.idf * tf.tf * (1 + {_BM25_K1}) /
+                     (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / idf.avgdl))) AS s
+          FROM q JOIN idf ON q.tok = idf.tok
+                 JOIN tf ON tf.tok = q.tok
+                 JOIN dl ON dl.doc_id = tf.doc_id
+          WHERE tf.doc_id <> q.query_id
+          GROUP BY 1, 2),
+        boosted AS (
+          SELECT s.query_id, s.cand_id, s.s + 0.1 * ln(1 + d.n_chars) AS score
+          FROM scored s JOIN documents d ON d.doc_id = s.cand_id)
+       SELECT query_id, cand_id, ROUND(score, 3) AS score, rank FROM (
+         SELECT query_id, cand_id, score,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY ROUND(score, 3) DESC, cand_id) AS rank
+         FROM boosted) WHERE rank <= 5""",
+)
+def j4_bm25_scored_topk(spark, sf_dir):
+    """J4 (scored form): BM25-weighted token-retrieval join with popularity
+    boost + top-k window — the real shape of the reference's Solr retrieval
+    (`blink/main_solr.py:126-143` edismax template with
+    ``bf=log(sum(num_incoming_links,1))``;
+    `candidate_retrieval/candidate_generators.py:59-116`).
+
+    Query docs (every 20th) retrieve candidates by their 6 smallest
+    distinct terms; terms are token BIGRAMS (unigrams are non-selective on
+    a small-vocabulary corpus — the phrase-field analog of the template's
+    ``aliases:"{}"`` leg); candidate score = Σ BM25(idf, tf, dl/avgdl) over
+    shared terms + ``0.1·ln(1+n_chars)`` popularity boost (n_chars stands
+    in for ``num_incoming_links``). Terms with document frequency above
+    ``_BM25_MAX_DF`` are excluded — the hot-key guard AND the standard
+    stop-word treatment at scale. Ranking uses the score rounded to 3
+    decimals with candidate-id tie-break so both engines order
+    identically.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", tokens(F.col("text")).alias("t"))
+        .select("doc_id", F.explode(token_ngrams_from_tokens(F.col("t"), 2)).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    idf = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= _BM25_MAX_DF)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "tok",
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
+            "avgdl",
+        )
+    )
+    qtok = (
+        d.where(F.col("doc_id") % 20 == 0)
+        .select(F.col("doc_id").alias("query_id"), tokens(F.col("text")).alias("t"))
+        .select(
+            "query_id",
+            F.explode(
+                F.slice(F.array_sort(F.array_distinct(token_ngrams_from_tokens(F.col("t"), 2))), 1, 6)
+            ).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    bm25_term = F.col("idf") * (F.col("tf") * (1 + _BM25_K1)) / (
+        F.col("tf") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        qtok.join(F.broadcast(idf), "tok")
+        .join(tf, "tok")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .join(dl, "doc_id")
+        .groupBy("query_id", F.col("doc_id").alias("cand_id"))
+        .agg(F.sum(bm25_term).alias("s"))
+    )
+    boosted = scored.join(d.select(F.col("doc_id").alias("cand_id"), "n_chars"), "cand_id").select(
+        "query_id", "cand_id", (F.col("s") + 0.1 * F.log1p("n_chars")).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc(F.round(F.col("score"), 3)), F.asc("cand_id"))
+    return (
+        boosted.select(
+            "query_id", "cand_id", F.round("score", 3).alias("score"), F.row_number().over(w).alias("rank")
+        )
+        .where(F.col("rank") <= 5)
+    )
+
+
 @q(
     "j5_prior_fallback_join",
     f"""WITH m AS (SELECT doc_id, t[1] AS mention_key
@@ -324,6 +590,72 @@ def j5_prior_fallback_join(spark, sf_dir):
             "mention_key",
             F.coalesce("p_exact", "p_title", F.lit(0)).alias("resolved_prior"),
         )
+    )
+
+
+@q(
+    "j5_ranked_candidates",
+    f"""WITH base AS (SELECT doc_id, t[1] AS k, t[2] AS entity
+                     FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)),
+        cnt AS (SELECT k, entity, COUNT(*) AS c FROM base
+                WHERE entity IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT k, SUM(c) AS tc FROM cnt GROUP BY 1),
+        r AS (SELECT cnt.k, entity,
+                     CAST(ROUND(CAST(c AS DOUBLE) / tc, 4) AS VARCHAR) AS prob,
+                     row_number() OVER (PARTITION BY cnt.k ORDER BY c DESC, entity) AS rn
+              FROM cnt JOIN tot ON cnt.k = tot.k),
+        lists AS (SELECT k, string_agg(entity || ':' || prob, ';' ORDER BY rn) AS candidates
+                  FROM r WHERE rn <= 3 GROUP BY k)
+       SELECT b.doc_id, b.k AS mention_key, COALESCE(l.candidates, '') AS candidates
+       FROM (SELECT doc_id, t[1] AS k
+             FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)) b
+       LEFT JOIN lists l ON b.k = l.k""",
+)
+def j5_ranked_candidates(spark, sf_dir):
+    """J5 (ranked form): the p_e_m dictionary join returning a RANKED
+    candidate list per mention with frequency tie-break
+    (`blink/candidate_retrieval/dataset.py:322-347` — candidates arrive as
+    (entity, prob) lists sorted by prior).
+
+    The dictionary maps each document's first token to its second-token
+    "entities" with empirical priors; each mention resolves to the top-3
+    (prob desc, entity asc) serialized ``entity:prob;...`` — an ordered
+    list in one hash-stable string column (the underlying
+    ``collect_list(struct)`` + ``array_sort`` is the array<struct> form).
+    Frequency ranking uses the integer count, so cross-engine float
+    ordering cannot flip ranks."""
+    d = _t(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    base = d.select("doc_id", F.element_at(t, 1).alias("k"), F.element_at(t, 2).alias("entity"))
+    cnt = base.where(F.col("entity").isNotNull()).groupBy("k", "entity").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = cnt.groupBy("k").agg(F.sum("c").alias("tc"))
+    w = Window.partitionBy("k").orderBy(F.desc("c"), F.asc("entity"))
+    r = (
+        cnt.join(tot, "k")
+        .select(
+            "k",
+            "entity",
+            F.round(F.col("c") / F.col("tc"), 4).cast("string").alias("prob"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+    lists = r.groupBy("k").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "entity", "prob"))),
+                lambda s: F.concat(s["entity"], F.lit(":"), s["prob"]),
+            ),
+            ";",
+        ).alias("candidates")
+    )
+    m = d.select("doc_id", F.element_at(t, 1).alias("k"))
+    return m.join(F.broadcast(lists), "k", "left").select(
+        "doc_id",
+        F.col("k").alias("mention_key"),
+        F.coalesce("candidates", F.lit("")).alias("candidates"),
     )
 
 

@@ -166,3 +166,62 @@ def test_frame_sample_plan(spark):
     assert {r["media_id"] for r in rows} == vids
     for r in rows:
         assert r["frame_ts_ms"] % 1000 == 0
+
+
+# ---- P10 context quota window ----------------------------------------------
+
+def test_context_quota_window_edges(spark):
+    """Redistribution edges per blink/biencoder/data_process.py:45-57 with
+    max_tokens=10: base left_quota=(10-2)//2-1=3, right_quota=10-2-3-2=3."""
+    from blink_spark.functions.text import context_quota_window
+
+    L = lambda *xs: list(xs)
+    rows = [
+        # (id, left, mention, right)
+        (1, L("a", "b", "c", "d", "e"), L("M", "N"), L("x", "y", "z", "w", "v")),  # both long
+        (2, L("a"), L("M", "N"), L("x", "y", "z", "w", "v", "u")),  # short left → right gets +2
+        (3, L("a", "b", "c", "d", "e"), L("M", "N"), L("x")),       # short right → left gets +2
+        (4, L(), L("M", "N"), L()),                                   # both empty
+        (5, L("a", "b"), L("M", "N"), L("x", "y")),                   # both under quota
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, l array<string>, m array<string>, r array<string>"
+    )
+    out = {
+        r.id: r.ctx
+        for r in df.select(
+            "id", context_quota_window(F.col("l"), F.col("m"), F.col("r"), 10).alias("ctx")
+        ).collect()
+    }
+    # python oracle mirroring the reference's exclusive branches
+    def oracle(left, mention, right, mx=10):
+        lq = (mx - len(mention)) // 2 - 1
+        rq = mx - len(mention) - lq - 2
+        if len(left) <= lq:
+            if len(right) > rq:
+                rq += lq - len(left)
+        elif len(right) <= rq:
+            lq += rq - len(right)
+        lq, rq = max(lq, 0), max(rq, 0)
+        lpart = left[-lq:] if lq > 0 else []
+        return lpart + mention + right[:rq]
+
+    for rid, left, mention, right in rows:
+        assert out[rid] == oracle(left, mention, right), rid
+    # explicit expectations for the two redistribution branches
+    assert out[2] == ["a", "M", "N", "x", "y", "z", "w", "v"]
+    assert out[3] == ["a", "b", "c", "d", "e", "M", "N", "x"]
+
+
+def test_context_quota_window_mention_exceeds_budget(spark):
+    from blink_spark.functions.text import context_quota_window
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"], ["m1", "m2", "m3", "m4", "m5", "m6"], ["x", "y"])],
+        "id long, l array<string>, m array<string>, r array<string>",
+    )
+    out = df.select(
+        context_quota_window(F.col("l"), F.col("m"), F.col("r"), 4).alias("ctx")
+    ).first().ctx
+    # quotas go negative → clamp to 0: mention alone survives
+    assert out == ["m1", "m2", "m3", "m4", "m5", "m6"]
