@@ -109,15 +109,25 @@ class ERPipeline:
                 return df
             return checkpoints.stage(name, fn, partition_by=partition_by)
 
-        docs = ck("s0_docs", lambda: self.build_docs(transcripts))
+        if checkpoints is None:
+            # docs has exactly one downstream consumer (the feature pass) in
+            # the in-memory path: leave it unpersisted so the conversation
+            # shuffle and the feature UDF pipeline into ONE materialization
+            # (the conv list for singleton resolution comes from features).
+            # The checkpointed path still writes s0_docs as its own durable,
+            # resumable stage.
+            docs = self.build_docs(transcripts)
+        else:
+            docs = ck("s0_docs", lambda: self.build_docs(transcripts))
         features = ck("s1_features", lambda: self.build_features(docs))
         pairs = ck("s2_pairs", lambda: self.block(features))
         scored = ck("s3_scored", lambda: self.score(pairs, features))
         edges = scoring.match_edges(scored, self.config.scoring)
         assignments = ck("s4_clusters", lambda: self.cluster(edges))
 
-        # singletons (no surviving edge) resolve to themselves
-        all_convs = docs.select("conv_id")
+        # singletons (no surviving edge) resolve to themselves; the conv
+        # list reads the (persisted/checkpointed) feature table, not docs
+        all_convs = features.select("conv_id")
         full_assignments = (
             all_convs.join(assignments, "conv_id", "left")
             .select("conv_id", F.coalesce("cluster_id", F.col("conv_id")).alias("cluster_id"))
@@ -126,7 +136,7 @@ class ERPipeline:
         metrics = {}
         if compute_metrics:
             metrics = {
-                "n_conversations": docs.count(),
+                "n_conversations": features.count(),
                 "n_candidate_pairs": pairs.count(),
                 "n_match_edges": edges.count(),
             }

@@ -104,6 +104,29 @@ def s6_conll_scan(spark, sf_dir):
 
 
 @q(
+    "s11_sqlite_scan",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+              CAST(n_chars AS BIGINT) AS n_chars
+       FROM documents WHERE n_chars >= 200""",
+)
+def s11_sqlite_scan(spark, sf_dir):
+    """S11: SQLite index scan (`generate_wiki2wikidata_mappings.py:35-56`)
+    via the export-to-parquet route (`sources/sqlite_scan.py`) — the db
+    fixture is derived deterministically from `documents`, so the oracle
+    recomputes the same rows from the documents view (a genuine
+    db → engine round-trip check)."""
+    from blink_spark.sources import fixtures, sqlite_scan
+
+    db = fixtures.sqlite_fixture(sf_dir)
+    df = sqlite_scan.read_sqlite(spark, db, "mapping")
+    return df.where(F.col("n_chars") >= 200).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+@q(
     "s17_sentence_split",
     """WITH s AS (SELECT doc_id,
                         list_filter(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]*'),

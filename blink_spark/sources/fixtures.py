@@ -33,6 +33,30 @@ def tsv_fixture(sf_dir: str) -> str:
     return out
 
 
+def sqlite_fixture(sf_dir: str) -> str:
+    """S11 fixture: a SQLite db with a ``mapping(doc_id, lang, n_chars)``
+    table derived from `documents` — the wiki→wikidata mapping analog
+    (`generate_wiki2wikidata_mappings.py:35-56`). Deterministic, so the
+    DuckDB oracle can recompute the same rows from the documents view."""
+    import sqlite3
+
+    out = f"/tmp/blink_fixtures/{os.path.basename(sf_dir.rstrip('/'))}_mapping.db"
+    if not os.path.exists(out):
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "n_chars"]
+        )
+        rows = sorted(zip(*[tbl[c].to_pylist() for c in ["doc_id", "lang", "n_chars"]]))
+        tmp = out + ".tmp"
+        con = sqlite3.connect(tmp)
+        con.execute("CREATE TABLE mapping (doc_id INTEGER, lang TEXT, n_chars INTEGER)")
+        con.executemany("INSERT INTO mapping VALUES (?, ?, ?)", rows)
+        con.commit()
+        con.close()
+        os.replace(tmp, out)
+    return out
+
+
 def conll_fixture(sf_dir: str) -> str:
     """S6 fixture: CoNLL-ish token stream. Every doc starts with
     ``-DOCSTART- (<doc_id>)``; every 7th token opens a B mention, the next

@@ -17,19 +17,17 @@ and kernels run under ``readStream`` with watermarks. Three surfaces:
   table (re-clustering is global by nature — transitive closure cannot be
   finalized per-batch without cross-batch state).
 
-Caveats, stated rather than hidden:
+Caveat, stated rather than hidden: a conversation whose turns span
+micro-batches would be featurized from a prefix. Production ingestion
+should close conversations upstream (session gap / end marker) or
+re-featurize conv_ids seen again via an upsert sink (e.g. Iceberg MERGE
+keyed on conv_id) — not implemented here.
 
-* a conversation whose turns span micro-batches would be featurized from a
-  prefix. Production ingestion should close conversations upstream
-  (session gap / end marker) or re-featurize conv_ids seen again via an
-  upsert sink (e.g. Iceberg MERGE / dynamic partition overwrite keyed on
-  conv_id) — not implemented here.
-* the plain ``append`` parquet write inside ``foreachBatch`` is NOT
-  idempotent: a micro-batch replay after a failure between the write and
-  the checkpoint commit duplicates that batch's feature rows. A
-  transactional sink (Iceberg) or per-batch-id partition directories
-  (``.../batch_id=<id>`` overwritten atomically) makes replays exact-once;
-  parquet-append is the sandbox simplification.
+Replay safety: each micro-batch writes its own ``batch_id=<id>`` partition
+directory with overwrite semantics, so a replay after a failure between
+the write and the checkpoint commit rewrites the SAME directory instead of
+appending duplicates — exactly-once feature rows without a transactional
+sink (``batch_id`` is Structured Streaming's replay-stable epoch id).
 """
 
 from __future__ import annotations
@@ -77,7 +75,9 @@ def incremental_features(
         if batch_df.isEmpty():
             return
         feats = blocking.compute_features(blocking.conversation_docs(batch_df), cfg)
-        feats.write.mode("append").parquet(feature_table_path)
+        # idempotent sink: overwrite THIS batch's partition dir — a replay
+        # of batch_id rewrites the same directory instead of duplicating
+        feats.write.mode("overwrite").parquet(f"{feature_table_path}/batch_id={batch_id}")
 
     return (
         transcripts_stream.writeStream.foreachBatch(process)
@@ -85,3 +85,15 @@ def incremental_features(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_feature_table(spark: SparkSession, feature_table_path: str) -> DataFrame:
+    """Read the incrementally-maintained feature table (all batches).
+
+    ``batch_id`` comes back as a partition-discovery column and is dropped —
+    downstream consumers see the same schema as the batch
+    ``compute_features`` output.
+    """
+    return spark.read.option("basePath", feature_table_path).parquet(
+        f"{feature_table_path}/batch_id=*"
+    ).drop("batch_id")

@@ -164,3 +164,24 @@ def test_sentence_split(spark):
     assert got[(1, 1)] == "How are you?"
     assert got[(1, 2)] == "Fine!"
     assert got[(2, 0)] == "no terminal punct"
+
+
+def test_sqlite_scan_roundtrip(spark, tmp_path):
+    """S11: SQLite → parquet-export scan returns exactly the db's rows."""
+    import sqlite3
+
+    from blink_spark.sources import sqlite_scan
+
+    db = str(tmp_path / "m.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE mapping (id INTEGER, title TEXT, wikidata_id TEXT)")
+    rows = [(i, f"title {i}", f"Q{i * 7}") for i in range(250)] + [(999, None, None)]
+    con.executemany("INSERT INTO mapping VALUES (?, ?, ?)", rows)
+    con.commit()
+    con.close()
+    df = sqlite_scan.read_sqlite(spark, db, "mapping", cache_dir=str(tmp_path / "cache"))
+    got = sorted(map(tuple, df.collect()))
+    assert got == sorted(rows)
+    # cache hit: same db stats → no re-export (same DataFrame content)
+    again = sqlite_scan.read_sqlite(spark, db, "mapping", cache_dir=str(tmp_path / "cache"))
+    assert again.count() == len(rows)

@@ -75,10 +75,24 @@ def test_incremental_features_match_batch(spark, tmp_path):
     q.awaitTermination(180)
     streamed = {
         r["conv_id"]: (r["minhash_keys"], r["simhash"])
-        for r in spark.read.parquet(feat_path).collect()
+        for r in streaming.read_feature_table(spark, feat_path).collect()
     }
     batch = {
         r["conv_id"]: (r["minhash_keys"], r["simhash"])
         for r in blocking.compute_features(blocking.conversation_docs(t)).collect()
     }
     assert streamed == batch
+
+
+def test_incremental_features_replay_is_idempotent(spark, tmp_path):
+    """Re-processing a micro-batch (failure between write and checkpoint
+    commit) must rewrite its batch_id partition, not append duplicates."""
+    t, _ = _write_batches(spark, tmp_path)
+    feat_path = str(tmp_path / "features_replay")
+    feats = blocking.compute_features(blocking.conversation_docs(t))
+    # simulate the foreachBatch body running twice for the same batch_id
+    for _ in range(2):
+        feats.write.mode("overwrite").parquet(f"{feat_path}/batch_id=7")
+    got = streaming.read_feature_table(spark, feat_path)
+    assert got.count() == feats.count()
+    assert got.select("conv_id").distinct().count() == got.count()
