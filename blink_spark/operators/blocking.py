@@ -107,7 +107,7 @@ _FEATURE_SCHEMA = T.StructType(
         T.StructField("conv_id", T.StringType()),
         T.StructField("n_turns", T.LongType()),
         T.StructField("doc_head", T.StringType()),
-        T.StructField("shingles", T.ArrayType(T.LongType())),
+        T.StructField("shingles", T.ArrayType(T.IntegerType())),
         T.StructField("vec", T.ArrayType(T.FloatType())),
         T.StructField("minhash_keys", T.ArrayType(T.LongType())),
         T.StructField("simhash_keys", T.ArrayType(T.LongType())),
@@ -115,7 +115,13 @@ _FEATURE_SCHEMA = T.StructType(
     ]
 )
 
-_HEAD_CHARS = 512  # text prefix retained for the stage-2 edit-distance features
+# Text prefix retained for the stage-2 edit-distance features. 256 chars:
+# the 12-seed margin sweep (scripts/tune_blocking.py) shows identical
+# margins at 512/256 (worst F1 1.0, min positive score 0.499, zero false
+# positives), and the pass-2 DP cost is O(head²) — 256 quarters the
+# dominant per-pair cost and halves the head bytes joined for the
+# threshold-ambiguous sliver.
+_HEAD_CHARS = 256
 
 
 def compute_features(docs: DataFrame, cfg: BlockingConfig | None = None) -> DataFrame:
@@ -134,6 +140,10 @@ def compute_features(docs: DataFrame, cfg: BlockingConfig | None = None) -> Data
         for pdf in batches:
             texts = pdf["doc"].fillna("").tolist()
             shingle_sets = H.token_shingles_batch([t.split() for t in texts], k=cfg.shingle_k)
+            # stage 2 ships these per PAIR: store 32-bit truncations (half
+            # the pair-shuffle bytes; within-set collision prob ~|S|²/2³²
+            # ≈ 4e-6 per doc — vanishing effect on Jaccard)
+            shingles32 = [np.unique(s.astype(np.uint32)).view(np.int32) for s in shingle_sets]
             sigs = mh.signatures(shingle_sets)
             mh_keys = mh.band_keys(sigs, cfg.minhash_bands)
             # char n-gram hashes computed ONCE for the whole batch (single
@@ -153,7 +163,7 @@ def compute_features(docs: DataFrame, cfg: BlockingConfig | None = None) -> Data
                     "conv_id": pdf["conv_id"],
                     "n_turns": pdf["n_turns"].astype("int64"),
                     "doc_head": [t[:_HEAD_CHARS] for t in texts],
-                    "shingles": [s.view(np.int64).tolist() for s in shingle_sets],
+                    "shingles": [s.tolist() for s in shingles32],
                     "vec": list(vecs),
                     "minhash_keys": [[] if e else r.tolist() for e, r in zip(empty, mh_keys)],
                     "simhash_keys": [[] if e else r.tolist() for e, r in zip(empty, sh_keys)],

@@ -67,8 +67,6 @@ class ScoringConfig:
     threshold: float = 0.46
 
 
-_SCORE_COLS = ["conv_a", "conv_b", "jaccard", "lev_ratio", "jaro_winkler", "cosine", "turn_agree", "score"]
-
 _CHEAP_SCHEMA = T.StructType(
     [
         T.StructField("conv_a", T.StringType()),

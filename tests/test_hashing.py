@@ -179,6 +179,10 @@ def test_jaccard_batch_matches_scalar():
         sets_b.append(np.unique(pool2))
     sets_a += [np.empty(0, np.uint64), np.empty(0, np.uint64)]
     sets_b += [np.empty(0, np.uint64), np.unique(rng.randint(0, 9, 5).astype(np.uint64))]
+    # values above 2**63 exercise the uint64 ↔ int64 wrap (Arrow round-trip)
+    big = np.uint64(1) << np.uint64(63)
+    sets_a.append(np.unique(np.array([big, big + np.uint64(7), np.uint64(3)], dtype=np.uint64)))
+    sets_b.append(np.unique(np.array([big, np.uint64(3), np.uint64(9)], dtype=np.uint64)))
     got = strsim.jaccard_sorted_batch(sets_a, sets_b)
     for i, (x, y) in enumerate(zip(sets_a, sets_b)):
         assert got[i] == pytest.approx(strsim.jaccard_sorted(x, y)), i
