@@ -23,11 +23,13 @@ expensive-rank split):
   Jaccard / cosine / turn agreement. Pure column expressions then decide
   every pair whose cheap ``core`` score already determines the thresholded
   outcome (lev = jw ∈ [0,1] bounds).
-* **pass 2** joins the 512-char text heads ONLY for the undecided sliver
-  and runs the edit-distance UDF on it.
+* **pass 2** joins the 256-char text heads ONLY for the undecided sliver
+  and runs the edit-distance UDF on it (head length validated by the
+  12-seed margin sweep, scripts/tune_blocking.py).
 
-This keeps the Arrow traffic of the big pass at ~2KB/pair instead of
-~5KB/pair and skips the O(len²) edit distances almost everywhere — at
+This keeps the Arrow traffic of the big pass at ~1.7KB/pair (32-bit
+shingle hashes + 256-d vectors, NO text) instead of ~4KB/pair and skips
+the O(len²) edit distances almost everywhere — at
 10^12 turns the scorer's input bandwidth, not its FLOPs, is the bottleneck.
 Gating depends only on the pair's own features — deterministic at any
 parallelism.
