@@ -2,16 +2,27 @@
 
 Image/audio/video payloads are carried as ``binary`` columns with a typed
 metadata struct; decode / feature-extraction runs as ``mapInPandas`` over
-Arrow batches. The actual codecs are NOT available in this environment, so
-the decode kernel is stubbed behind ``decoder=`` — the default
-deterministic fake keeps the Spark-side plumbing (schema, batching,
-partitioning, UDF signatures) fully real and testable, and a real decoder
-(PIL/libsndfile/ffmpeg) drops in without touching the plan.
+Arrow batches.
+
+Codec status, stated honestly per modality:
+
+* **audio (WAV/PCM)** — REAL decode: :func:`decode_wav` parses RIFF/WAVE
+  headers and PCM frames with stdlib ``wave`` + numpy (no external codec
+  needed), and :func:`audio_features` extracts duration / RMS /
+  zero-crossing-rate / band energies from the actual samples.
+* **image / video** — the container decoders (PNG/JPEG/H.264) are NOT
+  available in this environment, so the decode kernel is stubbed behind
+  ``decoder=``: the default deterministic fake keeps the Spark-side
+  plumbing (schema, batching, partitioning, UDF signatures) fully real and
+  testable, and a real decoder (PIL/ffmpeg) drops in without touching the
+  plan.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from typing import Callable, Iterator
 
 import numpy as np
@@ -64,10 +75,96 @@ def fake_decode(payload: bytes, kind: str, dim: int = 64) -> np.ndarray:
 
 
 def real_decode(payload: bytes, kind: str, dim: int = 64) -> np.ndarray:
-    """Real decoder entry point — requires PIL / soundfile / av, absent here."""
+    """Real decoder entry point. Audio (WAV) decodes for real via
+    :func:`decode_wav`; image/video codecs are absent in this environment."""
+    if kind == "audio":
+        samples, _sr = decode_wav(payload)
+        # pool to a fixed-dim feature: dim equal-width mean-abs segments
+        if len(samples) == 0:
+            return np.zeros(dim, dtype=np.float32)
+        seg = np.array_split(np.abs(samples), dim)
+        v = np.array([s.mean() if len(s) else 0.0 for s in seg], dtype=np.float32)
+        n = float(np.linalg.norm(v))
+        return v / n if n > 0 else v
     raise NotImplementedError(
-        "media codecs are not installed in this environment; "
+        "image/video codecs are not installed in this environment; "
         "pass decoder=fake_decode (default) or provide your own"
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL audio decode: RIFF/WAVE container → float samples in [-1, 1].
+
+    stdlib ``wave`` parses the container; numpy converts the PCM frames
+    (8-bit unsigned or 16/32-bit signed little-endian). Multi-channel audio
+    is averaged to mono. Returns ``(samples, sample_rate)``.
+    """
+    if not payload:
+        return np.zeros(0, dtype=np.float32), 0
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        sr = w.getframerate()
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 1:  # unsigned 8-bit
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width: {width}")
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return x, sr
+
+
+_AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+        T.StructField("band_energy", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def audio_features(media: DataFrame, n_bands: int = 8) -> DataFrame:
+    """Real audio feature extraction over WAV payloads (``kind='audio'``).
+
+    Per clip: sample rate, duration, RMS amplitude, zero-crossing rate, and
+    ``n_bands`` FFT band energies (L1-normalized) — all computed from the
+    DECODED samples, batched per Arrow batch. This is the genuine
+    decode-then-featurize path the stubbed modalities emulate.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "sample_rate", "duration_ms", "rms", "zero_crossing_rate", "band_energy")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                x, sr = decode_wav(payload)
+                out["media_id"].append(mid)
+                out["sample_rate"].append(sr)
+                out["duration_ms"].append(len(x) / sr * 1000.0 if sr else 0.0)
+                out["rms"].append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+                out["zero_crossing_rate"].append(
+                    float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
+                )
+                if len(x):
+                    spec = np.abs(np.fft.rfft(x))
+                    bands = np.array([s.sum() for s in np.array_split(spec, n_bands)], dtype=np.float64)
+                    tot = bands.sum()
+                    out["band_energy"].append((bands / tot if tot > 0 else bands).astype(np.float32).tolist())
+                else:
+                    out["band_energy"].append([0.0] * n_bands)
+            yield pd.DataFrame(out)
+
+    return (
+        media.where(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(gen, schema=_AUDIO_FEATURE_SCHEMA)
     )
 
 
@@ -116,14 +213,38 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def wav_bytes(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode float samples in [-1, 1] as a REAL mono PCM16 WAV container."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes((np.clip(samples, -1.0, 1.0) * 32767.0).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table (binary payloads + metadata)."""
+    """Deterministic synthetic media table (binary payloads + metadata).
+
+    Audio rows carry VALID WAV payloads (sine tones at deterministic
+    frequencies — the real :func:`decode_wav` path consumes them); image
+    and video rows carry opaque bytes for the stubbed codecs.
+    """
     rng = np.random.RandomState(seed)
     rows = []
     kinds = ["image", "audio", "video"]
+    sr = 8000
     for i in range(n):
         kind = kinds[i % 3]
-        payload = rng.bytes(int(rng.randint(64, 2048)))
+        if kind == "audio":
+            dur_ms = int(rng.randint(500, 3000))
+            freq = 110.0 * (1 + i % 8)
+            t = np.arange(int(sr * dur_ms / 1000)) / sr
+            payload = wav_bytes(0.5 * np.sin(2 * np.pi * freq * t), sr)
+        else:
+            dur_ms = int(rng.randint(500, 10_000)) if kind == "video" else None
+            payload = rng.bytes(int(rng.randint(64, 2048)))
         rows.append(
             (
                 i,
@@ -133,7 +254,7 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                     {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
                     int(rng.randint(16, 512)) if kind == "image" else None,
                     int(rng.randint(16, 512)) if kind == "image" else None,
-                    int(rng.randint(500, 10_000)) if kind != "image" else None,
+                    dur_ms,
                 ),
             )
         )

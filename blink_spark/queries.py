@@ -1504,6 +1504,23 @@ def multimodal_features(spark, sf_dir):
     return multimodal.extract_features(media).select("media_id", "kind", "n_bytes")
 
 
+@q("multimodal_audio_features", None)
+def multimodal_audio_features(spark, sf_dir):
+    """REAL audio decode path: WAV container → PCM samples → duration /
+    RMS / zero-crossing / FFT band energies (stdlib wave + numpy, no
+    external codec). Known-signal correctness (sine RMS = A/√2, ZCR = 2f/sr,
+    band-energy peak) is asserted in tests/test_operators.py."""
+    media = multimodal.synth_media(spark, n=64, seed=42)
+    out = multimodal.audio_features(media)
+    return out.select(
+        "media_id",
+        "sample_rate",
+        F.round("duration_ms", 1).alias("duration_ms"),
+        F.round("rms", 4).alias("rms"),
+        F.round("zero_crossing_rate", 4).alias("zcr"),
+    )
+
+
 @q("multimodal_frame_plan", None)
 def multimodal_frame_plan(spark, sf_dir):
     """Video frame-sampling fan-out plan (pure metadata column math)."""

@@ -225,3 +225,53 @@ def test_context_quota_window_mention_exceeds_budget(spark):
     ).first().ctx
     # quotas go negative → clamp to 0: mention alone survives
     assert out == ["m1", "m2", "m3", "m4", "m5", "m6"]
+
+
+# ---- real audio decode ------------------------------------------------------
+
+def test_decode_wav_roundtrip_and_features(spark):
+    """Known-signal checks: a sine of amplitude A has RMS A/√2 and
+    zero-crossing rate 2f/sr; its energy concentrates in the right band."""
+    import numpy as np
+
+    sr, f, dur = 8000, 440.0, 1.0
+    t = np.arange(int(sr * dur)) / sr
+    x = 0.5 * np.sin(2 * np.pi * f * t)
+    payload = multimodal.wav_bytes(x, sr)
+    decoded, got_sr = multimodal.decode_wav(payload)
+    assert got_sr == sr
+    assert len(decoded) == len(x)
+    assert float(np.max(np.abs(decoded - x))) < 2e-4  # 16-bit quantization
+
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(payload), ("audio/wav", None, None, 1000))],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    r = multimodal.audio_features(media).first()
+    assert r.sample_rate == sr
+    assert abs(r.duration_ms - 1000.0) < 1e-6
+    assert abs(r.rms - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(r.zero_crossing_rate - 2 * f / sr) < 2e-3
+    # 440 Hz of a 0..4000 Hz spectrum in 8 bands → band 0 (0..500 Hz) peaks
+    assert int(np.argmax(r.band_energy)) == 0
+    assert abs(sum(r.band_energy) - 1.0) < 1e-3
+
+
+def test_real_decode_audio_feature_vector(spark):
+    import numpy as np
+
+    sr = 8000
+    x = 0.25 * np.sin(2 * np.pi * 220.0 * np.arange(sr) / sr)
+    v = multimodal.real_decode(multimodal.wav_bytes(x, sr), "audio", dim=16)
+    assert v.shape == (16,)
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
+
+
+def test_synth_audio_payloads_are_valid_wav(spark):
+    media = multimodal.synth_media(spark, n=12, seed=3)
+    rows = multimodal.audio_features(media).collect()
+    assert len(rows) == 4  # every third row is audio
+    for r in rows:
+        assert r.sample_rate == 8000
+        assert r.duration_ms >= 500
+        assert r.rms > 0.3  # 0.5-amplitude sine → RMS ≈ 0.354
