@@ -104,6 +104,107 @@ def s6_conll_scan(spark, sf_dir):
 
 
 @q(
+    "s2_mention_scan_remap",
+    """WITH cat AS (SELECT source, MIN(doc_id) AS entity_id
+                   FROM documents GROUP BY source HAVING COUNT(*) >= 3)
+       SELECT d.doc_id, lower(substring(d.text, 1, 40)) AS mention,
+              d.source AS label, c.entity_id
+       FROM documents d JOIN cat c ON d.source = c.source""",
+)
+def s2_mention_scan_remap(spark, sf_dir):
+    """S2 + P2: mention scan with lowercase normalization, label remapped
+    through a KB catalog, mentions with no KB entry dropped
+    (`blink/main_dense.py:173-207` ``__load_test`` — "LOWERCASE
+    EVERYTHING", `kb2id` remap, `continue` on missing labels). The catalog
+    is sources with ≥3 docs (entity_id = min doc_id), broadcast like any
+    dimension; the inner join IS the drop-missing filter."""
+    d = _t(spark, sf_dir, "documents")
+    cat = (
+        d.groupBy("source")
+        .agg(F.min("doc_id").alias("entity_id"), F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 3)
+        .drop("n")
+    )
+    return (
+        d.select("doc_id", F.lower(F.substring("text", 1, 40)).alias("mention"), F.col("source").alias("label"))
+        .join(F.broadcast(cat.withColumnRenamed("source", "label")), "label")
+        .select("doc_id", "mention", "label", "entity_id")
+    )
+
+
+@q(
+    "s3_jsonl_limit_scan",
+    """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+       FROM documents ORDER BY doc_id LIMIT 120""",
+)
+def s3_jsonl_limit_scan(spark, sf_dir):
+    """S3: generic JSONL reader with a debug row-limit
+    (`blink/candidate_ranking/utils.py:24-36` — ``read_dataset`` caps at
+    200 rows in debug mode). The JSONL fixture derives deterministically
+    from `documents`; the limit is taken after an explicit ordering so it
+    is the same 120 rows on every engine."""
+    from blink_spark.sources import fixtures
+
+    path = fixtures.jsonl_fixture(sf_dir)
+    df = spark.read.schema("doc_id long, lang string, n_chars long").json(path)
+    return df.orderBy("doc_id").limit(120)
+
+
+@q(
+    "s7_doc_block_reassembly",
+    """WITH d AS (SELECT doc_id,
+                        replace(replace(text, chr(9), ' '), chr(10), ' ') AS c
+                 FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 200)),
+        p AS (SELECT doc_id, substring(c, 1, 60) AS l1, substring(c, 61, 60) AS l2 FROM d)
+       SELECT doc_id, CASE WHEN trim(l1) <> '' THEN l1 ELSE l2 END AS intro
+       FROM p WHERE trim(l1) <> '' OR trim(l2) <> ''""",
+)
+def s7_doc_block_reassembly(spark, sf_dir):
+    """S7: wiki-extractor ``<doc id=..>`` block reassembly keeping the
+    intro paragraph (`process_wiki_extractor_output.py:51-93`): block ids
+    carried forward relationally (`last(..., ignorenulls)` window), first
+    content line kept — checked against an oracle that recomputes the
+    fixture's content from the documents view."""
+    from blink_spark.sources import fixtures, text_formats
+
+    path = fixtures.docblock_fixture(sf_dir)
+    blocks = text_formats.parse_doc_blocks(spark, path)
+    return text_formats.doc_intros(blocks)
+
+
+@q(
+    "p12_alias_emoji_filter",
+    f"""WITH a AS (
+          SELECT doc_id, unnest([t[1], ':)', t[2], '!!', '<3']) AS alias
+          FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents))
+       SELECT doc_id, COUNT(*) AS n_kept,
+              string_agg(alias, ',' ORDER BY alias) AS kept
+       FROM a
+       WHERE alias IS NOT NULL AND regexp_matches(alias, '^[a-z0-9]+$')
+       GROUP BY doc_id""",
+)
+def p12_alias_emoji_filter(spark, sf_dir):
+    """P12: alias emoji/symbol filter (`data_ingestion.py:84-90`,
+    `blink/candidate_data_fetcher.py:28-32` drop emoji aliases): each doc
+    gets a deterministic alias list salted with symbol junk; only
+    plain-alphanumeric aliases survive the regex filter."""
+    d = _t(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    aliases = F.array(
+        F.element_at(t, 1), F.lit(":)"), F.element_at(t, 2), F.lit("!!"), F.lit("<3")
+    )
+    return (
+        d.select("doc_id", F.explode(aliases).alias("alias"))
+        .where(F.col("alias").isNotNull() & F.col("alias").rlike("^[a-z0-9]+$"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(F.array_sort(F.collect_list("alias")), ",").alias("kept"),
+        )
+    )
+
+
+@q(
     "s11_sqlite_scan",
     """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
               CAST(n_chars AS BIGINT) AS n_chars

@@ -33,6 +33,47 @@ def tsv_fixture(sf_dir: str) -> str:
     return out
 
 
+def _clean_head(text: str, start: int = 0, width: int = 60) -> str:
+    return (text or "").replace("\t", " ").replace("\n", " ")[start : start + width]
+
+
+def docblock_fixture(sf_dir: str) -> str:
+    """S7 fixture: wiki-extractor-style ``<doc id=..>`` blocks, two content
+    paragraphs per doc, derived deterministically from `documents`."""
+    out = f"/tmp/blink_fixtures/{os.path.basename(sf_dir.rstrip('/'))}_docs.blocks"
+    if not os.path.exists(out):
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        tmp = out + ".tmp"
+        with open(tmp, "w") as f:
+            for doc_id, _, text in _docs(sf_dir):
+                f.write(f'<doc id="{doc_id}" url="local://{doc_id}">\n')
+                f.write(_clean_head(text, 0) + "\n")
+                f.write(_clean_head(text, 60) + "\n")
+                f.write("</doc>\n")
+        os.replace(tmp, out)
+    return out
+
+
+def jsonl_fixture(sf_dir: str) -> str:
+    """S3 fixture: one JSON object per line (doc_id, lang, n_chars),
+    derived deterministically from `documents`."""
+    import json
+
+    out = f"/tmp/blink_fixtures/{os.path.basename(sf_dir.rstrip('/'))}_docs.jsonl"
+    if not os.path.exists(out):
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "n_chars"]
+        )
+        rows = sorted(zip(*[tbl[c].to_pylist() for c in ["doc_id", "lang", "n_chars"]]))
+        tmp = out + ".tmp"
+        with open(tmp, "w") as f:
+            for doc_id, lang, n_chars in rows:
+                f.write(json.dumps({"doc_id": doc_id, "lang": lang, "n_chars": n_chars}) + "\n")
+        os.replace(tmp, out)
+    return out
+
+
 def sqlite_fixture(sf_dir: str) -> str:
     """S11 fixture: a SQLite db with a ``mapping(doc_id, lang, n_chars)``
     table derived from `documents` — the wiki→wikidata mapping analog

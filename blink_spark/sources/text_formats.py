@@ -107,6 +107,40 @@ def conll_mentions(tokens: DataFrame) -> DataFrame:
     )
 
 
+def parse_doc_blocks(spark: SparkSession, path: str) -> DataFrame:
+    """S7: wiki-extractor-style ``<doc id=...>`` block reassembly
+    (`blink/candidate_retrieval/process_wiki_extractor_output.py:51-93`).
+
+    Returns ``(doc_id, content_idx, line)`` for content lines (tag lines
+    stripped). Same relational-state shape as :func:`parse_conll`: the
+    block id is carried forward from each opening tag with
+    ``last(..., ignorenulls)`` over the line order — no per-row Python.
+    """
+    lines = numbered_lines(spark, path)
+    w = Window.partitionBy("file").orderBy("line_no")
+    tag_id = F.regexp_extract("line", r'<doc id="(\d+)"', 1)
+    opened = F.when(tag_id != "", tag_id.cast("long"))
+    content = (
+        lines.withColumn("doc_id", F.last(opened, ignorenulls=True).over(w))
+        .where(
+            F.col("doc_id").isNotNull()
+            & ~F.col("line").startswith("<doc ")
+            & (F.col("line") != "</doc>")
+            & (F.trim("line") != "")
+        )
+    )
+    w_doc = Window.partitionBy("file", "doc_id").orderBy("line_no")
+    return content.select(
+        "doc_id", (F.row_number().over(w_doc) - 1).alias("content_idx"), "line"
+    )
+
+
+def doc_intros(blocks: DataFrame) -> DataFrame:
+    """Keep each doc's FIRST paragraph (the reference keeps the intro,
+    `process_wiki_extractor_output.py:79-88`)."""
+    return blocks.where(F.col("content_idx") == 0).select("doc_id", F.col("line").alias("intro"))
+
+
 def split_sentences(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """S17: sentence segmentation → ``(doc_id, sent_idx, sentence)``.
 

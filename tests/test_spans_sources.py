@@ -185,3 +185,30 @@ def test_sqlite_scan_roundtrip(spark, tmp_path):
     # cache hit: same db stats → no re-export (same DataFrame content)
     again = sqlite_scan.read_sqlite(spark, db, "mapping", cache_dir=str(tmp_path / "cache"))
     assert again.count() == len(rows)
+
+
+def test_doc_block_parse(spark, tmp_path):
+    """S7: block reassembly — orphan lines before any tag are dropped,
+    blank lines skipped, intro = first non-blank content line."""
+    path = str(tmp_path / "blocks.txt")
+    with open(path, "w") as f:
+        f.write(
+            "orphan line before any doc\n"
+            '<doc id="7" url="u">\n'
+            "\n"
+            "first paragraph of seven\n"
+            "second paragraph\n"
+            "</doc>\n"
+            '<doc id="9" url="u">\n'
+            "only paragraph of nine\n"
+            "</doc>\n"
+        )
+    blocks = text_formats.parse_doc_blocks(spark, path)
+    got = sorted(map(tuple, blocks.select("doc_id", "content_idx", "line").collect()))
+    assert got == [
+        (7, 0, "first paragraph of seven"),
+        (7, 1, "second paragraph"),
+        (9, 0, "only paragraph of nine"),
+    ]
+    intros = {r.doc_id: r.intro for r in text_formats.doc_intros(blocks).collect()}
+    assert intros == {7: "first paragraph of seven", 9: "only paragraph of nine"}
