@@ -1376,6 +1376,125 @@ def f_json_bundle(spark, sf_dir):
     )
 
 
+@q(
+    "f_array_bundle",
+    f"""SELECT doc_id,
+              array_to_string(t[3:4], ' ') AS mid2,
+              t[5] AS tok5,
+              array_to_string(list_sort(t[1:4]), ' ') AS sorted_head,
+              CAST(len(list_distinct(t)) AS INT) AS n_distinct,
+              list_contains(t, 'spark') AS has_spark,
+              array_to_string(
+                list_transform(generate_series(1, least(len(t[1:3]), len(t[4:6]))),
+                               i -> t[1:3][i] || '~' || t[4:6][i]), ',') AS zipped
+       FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)""",
+)
+def f_array_bundle(spark, sf_dir):
+    """§2.8 array family as a dedicated entry: slice / element_at /
+    array_sort / array_distinct / array_contains / zip_with (the
+    reference's token-list slicing, parallel-array zips and re-sorts —
+    `data_process.py:57`, `main_dense.py:543-560`,
+    `elq/biencoder/data_process.py:202-221`)."""
+    d = _t(spark, sf_dir, "documents")
+    out = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    s1, s2 = F.slice("t", 1, 3), F.slice("t", 4, 3)
+    return out.select(
+        "doc_id",
+        F.array_join(F.slice("t", 3, 2), " ").alias("mid2"),
+        F.element_at("t", 5).alias("tok5"),
+        F.array_join(F.array_sort(F.slice("t", 1, 4)), " ").alias("sorted_head"),
+        F.size(F.array_distinct("t")).alias("n_distinct"),
+        F.array_contains("t", "spark").alias("has_spark"),
+        F.array_join(F.zip_with(s1, s2, lambda x, y: F.concat(x, F.lit("~"), y)), ",").alias(
+            "zipped"
+        ),
+    )
+
+
+@q(
+    "p5_p6_gold_filter",
+    f"""SELECT doc_id,
+              CAST(list_position({_TOKENS_SQL}, 'spark') AS BIGINT) AS gold_pos
+       FROM documents
+       WHERE COALESCE(list_position({_TOKENS_SQL}, 'spark'), 0) > 0
+         AND source IS NOT NULL""",
+)
+def p5_p6_gold_filter(spark, sf_dir):
+    """P5 + P6: drop rows whose gold is not among the retrieved candidates
+    (`filter_crossencoder_tensor_input`,
+    `blink/crossencoder/data_process.py:89-112`) and null-key noise rows
+    (`blink/candidate_generation.py:112-115`) — authored BEFORE any
+    expensive stage so the filter pushes down by construction."""
+    d = _t(spark, sf_dir, "documents")
+    pos = F.array_position(tokens(F.col("text")), "spark")
+    return (
+        d.select("doc_id", "source", pos.alias("gold_pos"))
+        .where((F.col("gold_pos") > 0) & F.col("source").isNotNull())
+        .select("doc_id", "gold_pos")
+    )
+
+
+@q(
+    "p11_entity_text_projection",
+    """SELECT doc_id,
+              substring(source || ' [unused2] ' || text, 1, 80) AS entity_text
+       FROM documents""",
+)
+def p11_entity_text_projection(spark, sf_dir):
+    """P11: entity text projection ``title [unused2] description`` bounded
+    to a max length (`get_candidate_representation`,
+    `blink/biencoder/data_process.py:72-97`)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.substring(F.concat_ws(" [unused2] ", "source", "text"), 1, 80).alias("entity_text"),
+    )
+
+
+@q(
+    "s14_jsonl_writer_roundtrip",
+    """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       FROM documents GROUP BY lang""",
+)
+def s14_jsonl_writer_roundtrip(spark, sf_dir):
+    """S14: JSONL writer (`write_dicts_as_json_per_line`,
+    `blink/utils.py:110-117`) checked as a write→read round trip: the
+    table is written as JSONL, read back with an explicit schema, and
+    aggregated — the oracle computes the same aggregate from the source
+    view, so any writer/reader corruption breaks the match."""
+    import os as _os
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = f"/tmp/blink_fixtures/{_os.path.basename(sf_dir.rstrip('/'))}_s14_roundtrip.jsonl"
+    d.write.mode("overwrite").json(path)
+    back = spark.read.schema("doc_id long, lang string, n_chars long").json(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").cast("long").alias("total_chars")
+    )
+
+
+@q(
+    "s15_chunked_sink_merge",
+    """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs
+       FROM documents GROUP BY source""",
+)
+def s15_chunked_sink_merge(spark, sf_dir):
+    """S15: chunked sink + merge (`scripts/generate_candidates.py:131-152`
+    writes index-range chunks, `merge_candidates.py:24-36` concatenates):
+    in Spark the chunks are partition directories and the merge is reading
+    the table — written ``partitionBy(lang)``, read back as the union of
+    chunks, aggregated against the source-view oracle."""
+    import os as _os
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    path = f"/tmp/blink_fixtures/{_os.path.basename(sf_dir.rstrip('/'))}_s15_chunks.parquet"
+    d.write.partitionBy("lang").mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.countDistinct("lang").alias("n_langs")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup / text-analysis / similarity (training-data pipeline operators)
 # ---------------------------------------------------------------------------
