@@ -75,11 +75,19 @@ def s1_catalog_scan(spark, sf_dir):
     )
 
 
-@q("s5_tsv_positional_scan", None)  # file-format scan; round-trip asserted in tests
+@q(
+    "s5_tsv_positional_scan",
+    """SELECT doc_id, lang,
+              string_split(substring(replace(replace(text, chr(9), ' '),
+                                             chr(10), ' '), 1, 60), ' ')[1] AS first_tok
+       FROM (SELECT doc_id, lang, text FROM documents ORDER BY doc_id LIMIT 200)""",
+)
 def s5_tsv_positional_scan(spark, sf_dir):
     """S5: headerless positional TSV scan (`dataset.py:18-69`) over a
     deterministic fixture derived from `documents`; parses positional
-    fields + a split/element_at projection."""
+    fields + a split/element_at projection. The oracle recomputes the
+    fixture's rows straight from the documents view, so the TSV
+    write→parse round trip is value-checked, not just row-counted."""
     from blink_spark.sources import fixtures, text_formats
 
     path = fixtures.tsv_fixture(sf_dir)
@@ -91,11 +99,35 @@ def s5_tsv_positional_scan(spark, sf_dir):
     )
 
 
-@q("s6_conll_scan", None)  # stateful line format; span round-trip asserted in tests
+@q(
+    "s6_conll_scan",
+    """WITH d AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50),
+        o AS (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS cdoc, text FROM d),
+        t AS (SELECT cdoc,
+                     CASE WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')[1:40]
+                     END AS toks
+              FROM o),
+        m AS (SELECT cdoc, toks,
+                     unnest(generate_series(0, CAST(floor((len(toks) - 1) / 7.0) AS INT))) AS mid
+              FROM t WHERE len(toks) > 0)
+       SELECT cdoc AS doc_id, CAST(mid AS BIGINT) AS mention_id,
+              CAST(mid * 7 AS INT) AS start,
+              CAST(CASE WHEN mid * 7 + 2 <= len(toks) THEN mid * 7 + 1
+                        ELSE mid * 7 END AS INT) AS "end",
+              CASE WHEN mid * 7 + 2 <= len(toks)
+                   THEN toks[mid * 7 + 1] || ' ' || toks[mid * 7 + 2]
+                   ELSE toks[mid * 7 + 1] END AS mention
+       FROM m""",
+)
 def s6_conll_scan(spark, sf_dir):
     """S6: CoNLL token-stream scan with -DOCSTART- boundaries and B/I
     mention assembly (`dataset.py:73-138`) — running-sum window functions
-    instead of a per-line Python state machine."""
+    instead of a per-line Python state machine. The oracle reconstructs the
+    deterministic fixture's mention spans (every 7th token opens a B, the
+    next continues with I) straight from the documents view, so the whole
+    stateful parse is value-checked."""
     from blink_spark.sources import fixtures, text_formats
 
     path = fixtures.conll_fixture(sf_dir)
