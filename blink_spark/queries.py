@@ -1230,11 +1230,43 @@ def w3_topk_threshold_fallback(spark, sf_dir):
     )
 
 
-@q("w4_greedy_overlap_prune", None)  # sequential-per-group; pandas oracle in tests
+@q(
+    "w4_greedy_overlap_prune",
+    """WITH RECURSIVE spans AS (
+         SELECT user_id AS group_id, event_id AS span_id,
+                CAST(value AS DOUBLE) AS start, CAST(value + 5.0 AS DOUBLE) AS "end",
+                CAST(value AS DOUBLE) AS score,
+                row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+         FROM events),
+       mx AS (SELECT group_id, MAX(rn) AS mr FROM spans GROUP BY group_id),
+       g AS (
+         SELECT s.group_id, CAST(1 AS BIGINT) AS rn,
+                [s.span_id] AS kept, [s.start] AS ks, [s."end"] AS ke
+         FROM spans s WHERE s.rn = 1
+         UNION ALL
+         SELECT group_id, rn,
+                CASE WHEN ok THEN list_append(kept, span_id) ELSE kept END,
+                CASE WHEN ok THEN list_append(ks, start) ELSE ks END,
+                CASE WHEN ok THEN list_append(ke, "end") ELSE ke END
+         FROM (
+           SELECT g.group_id, g.rn + 1 AS rn, g.kept, g.ks, g.ke,
+                  s.span_id, s.start, s."end",
+                  len(list_filter(generate_series(1, len(g.ks)),
+                                  i -> s.start < g.ke[i] AND g.ks[i] < s."end")) = 0 AS ok
+           FROM g JOIN spans s ON s.group_id = g.group_id AND s.rn = g.rn + 1)),
+       final AS (
+         SELECT g.group_id, unnest(g.kept) AS kid
+         FROM g JOIN mx ON g.group_id = mx.group_id AND g.rn = mx.mr)
+       SELECT s.group_id, s.span_id, s.start, s."end", s.score
+       FROM final f JOIN spans s ON s.group_id = f.group_id AND s.span_id = f.kid""",
+)
 def w4_greedy_overlap_prune(spark, sf_dir):
     """W4: greedy overlap pruning (`elq/main_dense.py:451-466`) via
-    applyInPandas per group — spans are [value, value+5) intervals per user;
-    verified against a single-threaded pandas oracle in tests/test_spans.py."""
+    applyInPandas per group — spans are [value, value+5) intervals per user.
+    The inherently-sequential greedy is reproduced in the oracle as a
+    DuckDB RECURSIVE CTE stepping rank-by-rank per group with the accepted
+    intervals carried as list columns; a single-threaded pandas oracle in
+    tests/test_spans_sources.py checks the kernel independently."""
     e = _t(spark, sf_dir, "events")
     sp = e.select(
         F.col("user_id").alias("group_id"),
