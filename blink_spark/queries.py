@@ -1441,6 +1441,36 @@ def f_json_bundle(spark, sf_dir):
 
 
 @q(
+    "skew_salted_agg",
+    """SELECT event_type,
+              ROUND(SUM(value), 2) AS total,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              ROUND(MAX(value), 2) AS mx
+       FROM events GROUP BY event_type""",
+)
+def skew_salted_agg(spark, sf_dir):
+    """Skew utility as a checked query: the two-phase salted aggregation
+    (`operators/skew.py::salted_aggregate` — salt → partial → merge, the
+    classic hot-key decomposition north_rule asks for) must produce results
+    identical to a plain GROUP BY, which is exactly what the oracle is."""
+    from blink_spark.operators import skew
+
+    e = _t(spark, sf_dir, "events")
+    out = skew.salted_aggregate(
+        e.select("event_type", "value"),
+        group_cols=["event_type"],
+        aggs={"total": ("value", "sum"), "n": ("value", "count"), "mx": ("value", "max")},
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.round("total", 2).alias("total"),
+        F.col("n").cast("long").alias("n"),
+        F.round("mx", 2).alias("mx"),
+    )
+
+
+@q(
     "f_array_bundle",
     f"""SELECT doc_id,
               array_to_string(t[3:4], ' ') AS mid2,
