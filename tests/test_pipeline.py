@@ -90,3 +90,34 @@ def test_checkpoint_resume(spark, tmp_path, corpus):
     assert a1 == a2
     m = M.pairwise_f1(res2.assignments, labels)
     assert m["f1"] >= 0.99
+
+
+def test_empty_corpus_runs_clean(spark):
+    """Degenerate inputs must not crash any stage: an empty transcripts
+    table flows through block → score → cluster to zero assignments."""
+    empty = spark.createDataFrame([], synth.TRANSCRIPT_SCHEMA)
+    res = ERPipeline().run(spark, empty)
+    assert res.assignments.count() == 0
+    assert res.metrics["n_candidate_pairs"] == 0
+    res.unpersist()
+
+
+def test_single_conversation_is_its_own_cluster(spark):
+    import datetime
+
+    one = spark.createDataFrame(
+        [("c1", 0, "user", "hello there how are you", "", datetime.datetime(2026, 1, 1))],
+        synth.TRANSCRIPT_SCHEMA,
+    )
+    res = ERPipeline().run(spark, one)
+    assert sorted(map(tuple, res.assignments.collect())) == [("c1", "c1")]
+    res.unpersist()
+
+
+def test_unpersist_releases_caches(spark):
+    t, _ = synth.transcripts_df(spark, synth.SynthConfig(n_conversations=20, seed=5))
+    res = ERPipeline().run(spark, t, compute_metrics=False)
+    res.assignments.count()
+    assert len(res.caches) > 0
+    res.unpersist()
+    assert res.caches == []
