@@ -112,17 +112,27 @@ def lsh_topk_neighbors(
     max_bucket: int = 2000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    caches: list | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: hyperplane-bucket equi-join then exact
     re-scoring within buckets — the IVF-style scale path.
 
     At 100 TB the cross join in :func:`brute_force_topk` is infeasible;
     this replaces it with |bucket|-local joins. ``max_bucket`` caps hot
-    buckets (same skew guard as ER blocking).
+    buckets (same skew guard as ER blocking). The bucket-key table feeds
+    three subplans (size agg + both join sides), so it is persisted —
+    pass ``caches`` to collect the handle for release (same convention as
+    ``blocking.candidate_pairs``).
     """
-    keyed = hyperplane_buckets(
-        embeddings, n_planes=n_planes, n_tables=n_tables, seed=seed, id_col=id_col, vec_col=vec_col
-    ).select("vec_id", F.explode("buckets").alias("bucket"))
+    keyed = (
+        hyperplane_buckets(
+            embeddings, n_planes=n_planes, n_tables=n_tables, seed=seed, id_col=id_col, vec_col=vec_col
+        )
+        .select("vec_id", F.explode("buckets").alias("bucket"))
+        .persist()
+    )
+    if caches is not None:
+        caches.append(keyed)
     sizes = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
     kept = keyed.join(F.broadcast(sizes.where(F.col("n") > max_bucket)), "bucket", "left_anti")
 
