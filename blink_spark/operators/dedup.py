@@ -72,11 +72,20 @@ def minhash_dedup_pairs(
     max_block: int = 200,
     text_col: str = "text",
     id_col: str = "doc_id",
+    caches: list | None = None,
 ) -> DataFrame:
-    """MinHash-LSH candidate near-duplicate pairs (doc_a < doc_b)."""
-    keyed = _minhash_keys_udf(docs, num_perm, bands, shingle_k, seed, text_col, id_col).select(
-        "doc_id", F.explode("keys").alias("key")
+    """MinHash-LSH candidate near-duplicate pairs (doc_a < doc_b).
+
+    The exploded key table feeds three subplans (size agg + both join
+    sides), so it is persisted; pass ``caches`` to collect the handle for
+    release (same convention as ``blocking.candidate_pairs``)."""
+    keyed = (
+        _minhash_keys_udf(docs, num_perm, bands, shingle_k, seed, text_col, id_col)
+        .select("doc_id", F.explode("keys").alias("key"))
+        .persist()
     )
+    if caches is not None:
+        caches.append(keyed)
     sizes = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
     kept = keyed.join(F.broadcast(sizes.where(F.col("n") > max_block)), "key", "left_anti")
     a = kept.select("key", F.col("doc_id").alias("doc_a"))
@@ -160,9 +169,10 @@ def simhash_dedup_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs: band-bucket join then exact Hamming filter.
 
-    Hamming distance is computed JVM-side via ``bit_count(a ^ b)``.
+    Hamming distance is computed JVM-side via ``bit_count(a ^ b)``; the
+    signature UDF output is persisted (both join sides read it).
     """
-    sigs = simhash_signatures(docs, text_col=text_col, id_col=id_col)
+    sigs = simhash_signatures(docs, text_col=text_col, id_col=id_col).persist()
 
     def with_keys(df: DataFrame) -> DataFrame:
         width = 64 // bands
