@@ -1356,6 +1356,24 @@ def so1_union(spark, sf_dir):
 
 
 @q(
+    "so2_partition_union",
+    """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       FROM documents GROUP BY lang""",
+)
+def so2_partition_union(spark, sf_dir):
+    """SO2: union of per-chunk results (`scripts/merge_candidates.py:24-36`
+    concatenates per-process encode chunks): two disjoint half-scans
+    unioned must equal the whole table — "a table IS the union of its
+    partitions", verified by aggregating the union against the whole-view
+    oracle."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    chunks = d.where(F.col("doc_id") % 2 == 0).unionByName(d.where(F.col("doc_id") % 2 != 0))
+    return chunks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").cast("long").alias("total_chars")
+    )
+
+
+@q(
     "so3_except_anti",
     """SELECT c_custkey FROM customer
        EXCEPT

@@ -30,6 +30,9 @@ def simulate(seed: int, n_conv: int = 100, bcfg: BlockingConfig | None = None, s
     cids = sorted(docs)
     texts = [docs[c] for c in cids]
     shingle_sets = [H.token_shingles(x.split(), k=bcfg.shingle_k) for x in texts]
+    # stage 2 ships 32-bit truncations (operators/blocking.py) — score
+    # with the same sets the production scorer sees
+    shingle_sets32 = [np.unique(s.astype(np.uint32)).astype(np.uint64) for s in shingle_sets]
     mh = H.MinHasher(bcfg.num_perm, seed=bcfg.seed)
     sigs = mh.signatures(shingle_sets)
     mkeys = mh.band_keys(sigs, bcfg.minhash_bands)
@@ -54,7 +57,7 @@ def simulate(seed: int, n_conv: int = 100, bcfg: BlockingConfig | None = None, s
     for a, b in zip(gold.conv_a, gold.conv_b):
         blocked = blocked_pair(a, b)
         ia, ib = idx[a], idx[b]
-        jac = strsim.jaccard(shingle_sets[ia], shingle_sets[ib])
+        jac = strsim.jaccard(shingle_sets32[ia], shingle_sets32[ib])
         ha, hb = texts[ia][:_HEAD_CHARS], texts[ib][:_HEAD_CHARS]
         s = (
             scfg.w_jaccard * jac
@@ -76,7 +79,7 @@ def simulate(seed: int, n_conv: int = 100, bcfg: BlockingConfig | None = None, s
     for a, b in zip(neg.conv_a, neg.conv_b):
         if blocked_pair(a, b):
             ia, ib = idx[a], idx[b]
-            jac = strsim.jaccard(shingle_sets[ia], shingle_sets[ib])
+            jac = strsim.jaccard(shingle_sets32[ia], shingle_sets32[ib])
             ha, hb = texts[ia][:_HEAD_CHARS], texts[ib][:_HEAD_CHARS]
             s = (
                 scfg.w_jaccard * jac
