@@ -248,18 +248,19 @@ def candidate_pairs(
     hamming_ok = (F.col("modality") != "simhash") | (
         F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= cfg.sim_max_hamming
     )
+    # ONE aggregation over (conv_a, conv_b) with per-modality conditional
+    # counts — a per-(pair, modality) groupBy followed by a dedup would be
+    # two shuffles of the pair stream for the same answer
     shared = (
         a.join(b, on=join_cols)
         .where((F.col("conv_a") < F.col("conv_b")) & hamming_ok)
-        .groupBy("conv_a", "conv_b", "modality")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    pairs = (
-        shared.where(
-            (F.col("modality") == "simhash")
-            | (F.col("n_shared") >= cfg.min_shared_minhash_bands)
+        .groupBy("conv_a", "conv_b")
+        .agg(
+            F.sum(F.when(F.col("modality") == "minhash", 1).otherwise(0)).alias("mh_shared"),
+            F.max(F.when(F.col("modality") == "simhash", 1).otherwise(0)).alias("sh_hit"),
         )
-        .select("conv_a", "conv_b")
-        .dropDuplicates(["conv_a", "conv_b"])
     )
+    pairs = shared.where(
+        (F.col("sh_hit") == 1) | (F.col("mh_shared") >= cfg.min_shared_minhash_bands)
+    ).select("conv_a", "conv_b")
     return pairs
