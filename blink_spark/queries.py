@@ -1665,9 +1665,39 @@ def dedup_simhash_pairs(spark, sf_dir):
     return dedup.simhash_dedup_pairs(_t(spark, sf_dir, "documents"), max_hamming=10)
 
 
-@q("dedup_minhash_clusters", None)  # MinHash kernel + CC; verified in tests
+@q(
+    "dedup_minhash_clusters",
+    # Exact ground-truth oracle: all-pairs exact trigram Jaccard >= 0.5 →
+    # transitive closure (recursive CTE) → canon = component minimum. The
+    # Spark path is approximate (LSH candidates → exact verify → CC), but at
+    # this banding (128 perms / 32 bands, r=4) a true pair at j=0.5 collides
+    # with prob 1-(1-j^4)^32 ≈ 0.87 per pair and near-dup clusters are far
+    # above threshold, so LSH recall is 1.0 on this corpus and the outputs
+    # are identical (verified at sf0.001 and sf0.01). canon uses the
+    # LEXICOGRAPHIC min because connected_components orders string-cast ids.
+    f"""WITH RECURSIVE g AS (SELECT doc_id, {_GRAMS_SQL} AS g
+           FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)),
+       p AS (
+         SELECT a.doc_id AS ai, b.doc_id AS bi
+         FROM g a JOIN g b ON a.doc_id < b.doc_id
+         WHERE CASE WHEN len(list_distinct(a.g || b.g)) = 0 THEN 1.0
+                    ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                         / len(list_distinct(a.g || b.g)) END >= 0.5
+       ),
+       e AS (SELECT ai AS a, bi AS b FROM p UNION ALL SELECT bi, ai FROM p),
+       reach(s, t) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT r.s, e.b FROM reach r JOIN e ON e.a = r.t
+       )
+       SELECT s AS doc_id, CAST(MIN(CAST(t AS VARCHAR)) AS BIGINT) AS canon_id
+       FROM reach GROUP BY s""",
+)
 def dedup_minhash_clusters(spark, sf_dir):
-    """MinHash-LSH near-dup clusters over documents (rows-only driver check)."""
+    """MinHash-LSH near-dup clusters over documents, checked against an
+    exact all-pairs ground-truth oracle (brute-force Jaccard + transitive
+    closure in SQL) — the strongest check an approximate dedup can get:
+    the banded-LSH path must reproduce the exact clusters end to end."""
     return dedup.minhash_dedup_clusters(_t(spark, sf_dir, "documents"), jaccard_threshold=0.5)
 
 
