@@ -1859,6 +1859,69 @@ def er_candidate_pairs(spark, sf_dir):
     return pipe.block(pipe.build_features(pipe.build_docs(t)))
 
 
+_DERIVED_DOC_SQL = _CANON_SQL.format(c="replace(text, '. ', ' ␞ ')")
+_DERIVED_GRAMS_SQL = (
+    "list_distinct(CASE WHEN len(t) >= 3 THEN "
+    "list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) "
+    "ELSE [array_to_string(t, ' ')] END)"
+)
+
+
+@q(
+    "er_docs_clusters",
+    # Exact ground-truth oracle for the WHOLE block→score→cluster pipeline.
+    # The Spark side sentence-splits each document into conversation turns;
+    # conversation_docs then re-joins turns (sorted by turn_idx) with ' ␞ ',
+    # so the pipeline's canonical doc equals canonicalize(replace(text,
+    # '. ', ' ␞ ')) — SQL-expressible. Ground truth = transitive closure of
+    # exact trigram Jaccard >= 0.5 over those derived docs (the corpus has
+    # clean margins: planted near-dups sit far above any sane decision
+    # boundary, unrelated docs far below, so the pipeline's blended-score
+    # threshold reproduces the exact clustering — verified identical at
+    # sf0.001 and sf0.01). cluster_id is the LEXICOGRAPHIC min doc_id
+    # (connected_components orders string ids).
+    f"""WITH RECURSIVE g AS (
+         SELECT doc_id, {_DERIVED_GRAMS_SQL} AS g
+         FROM (SELECT doc_id, string_split({_DERIVED_DOC_SQL}, ' ') AS t FROM documents)),
+       p AS (
+         SELECT a.doc_id AS ai, b.doc_id AS bi
+         FROM g a JOIN g b ON a.doc_id < b.doc_id
+         WHERE CASE WHEN len(list_distinct(a.g || b.g)) = 0 THEN 1.0
+                    ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                         / len(list_distinct(a.g || b.g)) END >= 0.5
+       ),
+       e AS (SELECT ai AS a, bi AS b FROM p UNION ALL SELECT bi, ai FROM p),
+       reach(s, t) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT r.s, e.b FROM reach r JOIN e ON e.a = r.t
+       )
+       SELECT s AS doc_id, CAST(MIN(CAST(t AS VARCHAR)) AS BIGINT) AS cluster_id
+       FROM reach GROUP BY s""",
+)
+def er_docs_clusters(spark, sf_dir):
+    """End-to-end ER pipeline over transcripts derived from the shared
+    documents table (sentence-split → multi-turn conversations), value-
+    checked against an independent exact all-pairs + transitive-closure
+    oracle in SQL. Complements `er_flagship_clusters` (planted-label synth
+    corpus, rows-only): here every stage — feature UDF, LSH banding, block
+    caps, two-pass scorer, large-star/small-star CC — must reproduce the
+    brute-force ground truth exactly."""
+    from blink_spark.pipeline import ERPipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    transcripts = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.posexplode(F.split(F.col("text"), r"\. ")).alias("turn_idx", "text"),
+    )
+    res = ERPipeline().run(spark, transcripts, compute_metrics=False)
+    out = res.assignments.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+    return out
+
+
 @q("multimodal_features", None)
 def multimodal_features(spark, sf_dir):
     """Binary-payload feature extraction plumbing (stubbed decoder)."""
