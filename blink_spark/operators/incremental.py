@@ -1,0 +1,227 @@
+"""Incremental ER — delta blocking, scoring, and cluster-state update.
+
+At 10^12 turns the full pipeline never re-runs from scratch: new
+conversations arrive continuously and must be resolved against the existing
+corpus without touching old×old pairs. The reference's analog is its
+prediction cache + resume (``blink/main_dense.py:454-476``: cached entity
+encodings are reused, only new mentions are encoded and scored); here the
+cached state is the stage-1 feature table plus the current cluster
+assignment, and the delta work is
+
+* featurize ONLY the new conversations (same kernel as the batch pipeline);
+* generate candidate pairs with at least one NEW side — the self-join runs
+  new×(new ∪ old) on the union key table, never old×old, so the cost is
+  O(|Δ| · blocked-degree), not O(|corpus|²);
+* score with the same two-pass scorer;
+* update clusters by running connected components over the delta match
+  edges UNION the old assignment's star edges (conv_id → cluster_id).
+
+The star-edge trick is what makes the update exact: the old assignment is
+itself a spanning forest of the old match graph, so
+``CC(E_Δ ∪ star(A_old)) == CC(E_old ∪ E_Δ)`` — components merge correctly
+when a new conversation bridges two old clusters, and min-id labels come
+out identical to a full-batch run. Asserted by the batch≡incremental
+equality test (tests/test_incremental.py).
+
+Honest caveat (order dependence of the skew cap): block-size caps are
+computed on the UNION key table, same as a full batch run over the whole
+corpus. A pair whose ONLY shared keys were below the cap in an early state
+but become hot later would be found by the early incremental run and not
+by a from-scratch batch run (and vice versa for the ``min_shared_minhash_
+bands`` count when a hot key is dropped). True near-dups share many keys,
+so this affects pathological corpora, not planted-duplicate workloads —
+but it is why the equality test uses the same cap regime on both sides.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from blink_spark.operators import blocking, clustering, scoring
+from blink_spark.pipeline import PipelineConfig
+
+
+@dataclass
+class IncrementalResult:
+    features: DataFrame      # union feature table (old ∪ new)
+    features_new: DataFrame  # features of the delta conversations only
+    pairs: DataFrame         # delta candidate pairs (≥1 new side)
+    edges: DataFrame         # delta match edges
+    assignments: DataFrame   # full updated assignment (every conv_id)
+    metrics: dict
+    caches: list
+
+    def unpersist(self, blocking: bool = False) -> None:
+        for df in self.caches:
+            df.unpersist(blocking)
+        self.caches.clear()
+
+
+def delta_candidate_pairs(
+    features_old: DataFrame,
+    features_new: DataFrame,
+    cfg: blocking.BlockingConfig | None = None,
+    caches: list | None = None,
+) -> DataFrame:
+    """Candidate pairs with at least one new side, never old×old.
+
+    Mirrors :func:`blocking.candidate_pairs` exactly (same cap, same
+    shared-band aggregation, same SimHash Hamming verify) with one change:
+    the left join side carries only NEW conversations, and new×new rows are
+    kept once via ``conv_a < conv_b`` while new×old rows are kept in both
+    orientations' canonical form — each shared key contributes exactly one
+    row per pair, so the shared-band counts match the batch plan's.
+    """
+    cfg = cfg or blocking.BlockingConfig()
+    keys_new = blocking.block_keys(features_new).withColumn("is_new", F.lit(True))
+    keys_old = blocking.block_keys(features_old).withColumn("is_new", F.lit(False))
+    keys_all = keys_new.unionByName(keys_old)
+
+    # skew cap over the UNION key table — the same block sizes a full batch
+    # over the whole corpus would see
+    kept, _ = blocking.cap_blocks(keys_all, cfg.max_block_size)
+    kept = kept.persist()
+    if caches is not None:
+        caches.append(kept)
+
+    a = kept.where("is_new").select(
+        "modality", "key", F.col("conv_id").alias("conv_n"), F.col("sig").alias("sig_n")
+    )
+    b = kept.select(
+        "modality", "key", F.col("conv_id").alias("conv_o"), F.col("sig").alias("sig_o"), "is_new"
+    )
+    joined = a.join(b, on=["modality", "key"]).where(
+        # new×new once (ordered); new×old in every orientation — the
+        # (least, greatest) canonicalization below makes the pair unique
+        (~F.col("is_new") & (F.col("conv_n") != F.col("conv_o")))
+        | (F.col("is_new") & (F.col("conv_n") < F.col("conv_o")))
+    )
+    hamming_ok = (F.col("modality") != "simhash") | (
+        F.bit_count(F.col("sig_n").bitwiseXOR(F.col("sig_o"))) <= cfg.sim_max_hamming
+    )
+    shared = (
+        joined.where(hamming_ok)
+        .select(
+            F.least("conv_n", "conv_o").alias("conv_a"),
+            F.greatest("conv_n", "conv_o").alias("conv_b"),
+            "modality",
+        )
+        .groupBy("conv_a", "conv_b")
+        .agg(
+            F.sum(F.when(F.col("modality") == "minhash", 1).otherwise(0)).alias("mh_shared"),
+            F.max(F.when(F.col("modality") == "simhash", 1).otherwise(0)).alias("sh_hit"),
+        )
+    )
+    return shared.where(
+        (F.col("sh_hit") == 1) | (F.col("mh_shared") >= cfg.min_shared_minhash_bands)
+    ).select("conv_a", "conv_b")
+
+
+def star_edges(assignments: DataFrame) -> DataFrame:
+    """Old assignment → spanning-forest edges (conv_id, cluster_id).
+
+    Self-assigned singletons carry no edge (they re-enter CC via the
+    singleton coalesce, exactly like the batch pipeline).
+    """
+    return assignments.where(F.col("conv_id") != F.col("cluster_id")).select(
+        F.col("conv_id").alias("conv_a"), F.col("cluster_id").alias("conv_b")
+    )
+
+
+def incremental_update(
+    new_transcripts: DataFrame,
+    features_old: DataFrame,
+    assignments_old: DataFrame,
+    config: PipelineConfig | None = None,
+) -> IncrementalResult:
+    """Resolve a batch of NEW conversations against existing cluster state.
+
+    Returns the union feature table, the delta pairs/edges, and the full
+    updated assignment. The caller owns persistence of the returned state
+    tables (checkpoint/Iceberg in production; see
+    :func:`incremental_er_stream` for the streaming wiring).
+    """
+    config = config or PipelineConfig()
+    caches: list[DataFrame] = []
+
+    docs_new = blocking.conversation_docs(new_transcripts)
+    features_new = blocking.compute_features(docs_new, config.blocking).persist()
+    caches.append(features_new)
+
+    pairs = delta_candidate_pairs(features_old, features_new, config.blocking, caches=caches)
+    features_all = features_old.unionByName(features_new)
+    scored = scoring.score_pairs(pairs, features_all, config.scoring, caches=caches)
+    edges = scoring.match_edges(scored, config.scoring)
+
+    merged = clustering.connected_components(
+        edges.select("conv_a", "conv_b").unionByName(star_edges(assignments_old)),
+        max_iter=config.cc_max_iter,
+    )
+    all_convs = features_all.select("conv_id")
+    assignments = all_convs.join(merged, "conv_id", "left").select(
+        "conv_id", F.coalesce("cluster_id", F.col("conv_id")).alias("cluster_id")
+    )
+    return IncrementalResult(
+        features=features_all,
+        features_new=features_new,
+        pairs=pairs,
+        edges=edges,
+        assignments=assignments,
+        metrics={},
+        caches=caches,
+    )
+
+
+def incremental_er_stream(
+    transcripts_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    config: PipelineConfig | None = None,
+):
+    """Streaming incremental ER via ``foreachBatch``.
+
+    Maintains two durable state tables under ``state_dir``:
+    ``features/batch_id=<id>`` (append-per-batch; a replayed batch_id
+    overwrites its own directory — same idempotence contract as
+    :func:`blink_spark.streaming.incremental_features`) and
+    ``assignments/latest`` (full refreshed assignment, overwritten per
+    batch). Production sinks would be Iceberg tables with MERGE / atomic
+    replace; the directory layout is the sandbox stand-in, and a crash
+    mid-overwrite of ``assignments/latest`` requires replaying the batch
+    (the checkpoint makes that automatic).
+    """
+    from pyspark.sql import SparkSession
+
+    config = config or PipelineConfig()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = SparkSession.getActiveSession()
+        feats_schema = blocking._FEATURE_SCHEMA
+        try:
+            features_old = spark.read.option("basePath", f"{state_dir}/features").parquet(
+                f"{state_dir}/features/batch_id=*"
+            ).drop("batch_id")
+            assignments_old = spark.read.parquet(f"{state_dir}/assignments/latest")
+        except Exception:  # first batch: empty state
+            features_old = spark.createDataFrame([], feats_schema)
+            assignments_old = spark.createDataFrame([], "conv_id string, cluster_id string")
+
+        res = incremental_update(batch_df, features_old, assignments_old, config)
+        # idempotent per-batch feature append + full assignment refresh
+        res.features_new.write.mode("overwrite").parquet(
+            f"{state_dir}/features/batch_id={batch_id}"
+        )
+        res.assignments.write.mode("overwrite").parquet(f"{state_dir}/assignments/latest")
+        res.unpersist()
+
+    return (
+        transcripts_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1922,6 +1922,55 @@ def er_docs_clusters(spark, sf_dir):
     return out
 
 
+@q(
+    "er_incremental_clusters",
+    # Same exact ground truth as er_docs_clusters: the incremental path
+    # (phase-1 batch on half the corpus, delta update with the other half —
+    # new×(new ∪ old) blocking + star-edge CC merge, never old×old) must
+    # land on the identical clustering. Batch ≡ incremental is asserted
+    # generally in tests/test_incremental.py; this row checks it against
+    # the independent SQL oracle on the shared documents view.
+    f"""WITH RECURSIVE g AS (
+         SELECT doc_id, {_DERIVED_GRAMS_SQL} AS g
+         FROM (SELECT doc_id, string_split({_DERIVED_DOC_SQL}, ' ') AS t FROM documents)),
+       p AS (
+         SELECT a.doc_id AS ai, b.doc_id AS bi
+         FROM g a JOIN g b ON a.doc_id < b.doc_id
+         WHERE CASE WHEN len(list_distinct(a.g || b.g)) = 0 THEN 1.0
+                    ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                         / len(list_distinct(a.g || b.g)) END >= 0.5
+       ),
+       e AS (SELECT ai AS a, bi AS b FROM p UNION ALL SELECT bi, ai FROM p),
+       reach(s, t) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT r.s, e.b FROM reach r JOIN e ON e.a = r.t
+       )
+       SELECT s AS doc_id, CAST(MIN(CAST(t AS VARCHAR)) AS BIGINT) AS cluster_id
+       FROM reach GROUP BY s""",
+)
+def er_incremental_clusters(spark, sf_dir):
+    """Incremental ER over the documents-derived transcript corpus: batch
+    phase on the even-doc_id half, delta update with the odd half, checked
+    against the exact all-pairs ground truth (see `er_docs_clusters`)."""
+    from blink_spark.operators import incremental
+    from blink_spark.pipeline import ERPipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    transcripts = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.posexplode(F.split(F.col("text"), r"\. ")).alias("turn_idx", "text"),
+    )
+    old_t = transcripts.where(F.col("conv_id").cast("long") % 2 == 0)
+    new_t = transcripts.where(F.col("conv_id").cast("long") % 2 == 1)
+    phase1 = ERPipeline().run(spark, old_t, compute_metrics=False)
+    res = incremental.incremental_update(new_t, phase1.features, phase1.assignments)
+    return res.assignments.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 @q("multimodal_features", None)
 def multimodal_features(spark, sf_dir):
     """Binary-payload feature extraction plumbing (stubbed decoder)."""
