@@ -81,7 +81,12 @@ def _er_query(spark, transcripts_path: str) -> int:
 
     t = spark.read.parquet(transcripts_path)
     res = ERPipeline().run(spark, t, compute_metrics=False)
-    return res.assignments.count()
+    n = res.assignments.count()
+    # release stage caches: later bench queries must not run under this
+    # job's storage/GC pressure (the production job writes its output and
+    # exits; a shared-session bench leaks otherwise)
+    res.unpersist()
+    return n
 
 
 def _warmup(spark) -> None:

@@ -40,6 +40,15 @@ def get_spark(
         # -- adaptive execution: runtime re-plan for skewed blocks ------
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # don't coalesce below the machine's parallelism: AQE's byte-based
+        # heuristic sees a small docs shuffle (~16 MB at bench scale) and
+        # would hand the CPU-heavy Arrow feature UDF that follows it to
+        # half the cores. Bytes are the wrong cost model for a stage whose
+        # cost is per-row Python compute; keeping >= one partition per
+        # core costs nothing when shuffles are large (they never coalesce
+        # below this anyway) and restores full parallelism when they are
+        # small. On a cluster, set this to total executor cores.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", str(sp))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # -- shuffle sizing ---------------------------------------------
         .config("spark.sql.shuffle.partitions", str(sp))
