@@ -56,6 +56,10 @@ SCALING_CONVS = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "100000"))
 SCALING_LEGS = tuple(
     int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEGS", "1,4").split(",")
 )
+# best-of-N per leg: the sandbox host shows heavy-tailed outside
+# contention (same config measured 112-145 s on the 4-core leg in one
+# A/B session); min-of-reps is the least-contended estimate of each leg
+SCALING_REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
 
 
 def _prepare_transcripts(spark, sf_dir: str, n_conversations: int | None = None) -> tuple[str, int]:
@@ -209,10 +213,8 @@ def run_scaling(sf_dir: str = SF_DIR) -> dict:
 
         if shutil.which("taskset"):
             cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-        # best-of-2: the sandbox host shows ±30% run-to-run variance from
-        # outside contention; min wall is the least-contended estimate
         reps = []
-        for _ in range(2):
+        for _ in range(SCALING_REPS):
             out = subprocess.run(cmd, env=env, capture_output=True, text=True, cwd=REPO)
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             reps.append(json.loads(line))
@@ -254,7 +256,7 @@ def _write_bench_md(s: dict) -> None:
         "north_rule asks for throughput scaling efficiency ≥ 0.8 between N",
         "and 4N *executors*; no real cluster exists in this sandbox, so per",
         "the driver instruction the same job runs at two parallelism levels",
-        f"({k_lo} vs {k_hi}, fresh JVM each, best of 2 runs per leg,",
+        f"({k_lo} vs {k_hi}, fresh JVM each, best of {SCALING_REPS} runs per leg,",
         f"taskset-pinned to exactly {lo} vs {hi} cores) on the same input.",
         "Pinning matters: an unpinned local[N] JVM bleeds onto extra cores",
         "(GC, shuffle IO, concurrent Arrow python workers), inflating the",

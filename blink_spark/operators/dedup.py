@@ -165,14 +165,23 @@ def simhash_signatures(docs: DataFrame, ngram: int = 3, text_col: str = "text", 
 
 
 def simhash_dedup_pairs(
-    docs: DataFrame, max_hamming: int = 6, bands: int = 4, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    max_hamming: int = 6,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    caches: list | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: band-bucket join then exact Hamming filter.
 
     Hamming distance is computed JVM-side via ``bit_count(a ^ b)``; the
-    signature UDF output is persisted (both join sides read it).
+    signature UDF output is persisted (both join sides read it); pass
+    ``caches`` to collect the handle for release (same convention as
+    ``minhash_dedup_pairs``).
     """
     sigs = simhash_signatures(docs, text_col=text_col, id_col=id_col).persist()
+    if caches is not None:
+        caches.append(sigs)
 
     def with_keys(df: DataFrame) -> DataFrame:
         width = 64 // bands

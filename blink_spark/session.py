@@ -21,6 +21,17 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 
 
+def _master_cores(master: str, fallback: int) -> int:
+    """Parallelism of a ``local[N]`` master; ``fallback`` for cluster URLs
+    (there the caller should override via --conf with total executor cores)."""
+    import re
+
+    m = re.fullmatch(r"local\[(\d+|\*)\]", master)
+    if not m:
+        return fallback
+    return os.cpu_count() or fallback if m.group(1) == "*" else int(m.group(1))
+
+
 def get_spark(
     app_name: str = "blink_spark",
     master: str | None = None,
@@ -47,8 +58,14 @@ def get_spark(
         # cost is per-row Python compute; keeping >= one partition per
         # core costs nothing when shuffles are large (they never coalesce
         # below this anyway) and restores full parallelism when they are
-        # small. On a cluster, set this to total executor cores.
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", str(sp))
+        # small. The floor is the CORE COUNT, not the shuffle-partition
+        # count: flooring at 32 partitions on a 1-core leg would just add
+        # task overhead without parallelism (measured: it cost the pinned
+        # scaling legs ~10%). On a cluster, set to total executor cores.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionNum",
+            str(_master_cores(master, fallback=sp)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # -- shuffle sizing ---------------------------------------------
         .config("spark.sql.shuffle.partitions", str(sp))
