@@ -42,6 +42,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _finalize(df: DataFrame, caches: list) -> DataFrame:
+    """Materialize a small result via ``localCheckpoint`` and release the
+    stage caches it depended on.
+
+    The driver's correctness runner executes every registry query in ONE
+    SparkSession; pipeline-style entries persist multi-consumer
+    intermediates, and without an explicit release those would pile up
+    across the session (deterministic release beats waiting on the
+    ContextCleaner's GC-driven cleanup). The result must be materialized
+    BEFORE the caches go away — ``localCheckpoint`` is eager, runs the plan
+    once, and the caller's later collect reads the checkpointed partitions.
+    """
+    out = df.localCheckpoint()
+    for c in caches:
+        c.unpersist()
+    caches.clear()
+    return out
+
+
 # each value: (fn(spark, sf_dir) -> DataFrame, oracle_sql | None)
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 
@@ -1662,7 +1681,9 @@ def dedup_embedding_neardup(spark, sf_dir):
 def dedup_simhash_pairs(spark, sf_dir):
     """SimHash banded near-dup pairs (rows-only driver check; exact Hamming
     verified JVM-side via bit_count, kernel tested in tests/test_hashing.py)."""
-    return dedup.simhash_dedup_pairs(_t(spark, sf_dir, "documents"), max_hamming=10)
+    caches: list = []
+    out = dedup.simhash_dedup_pairs(_t(spark, sf_dir, "documents"), max_hamming=10, caches=caches)
+    return _finalize(out, caches)
 
 
 @q(
@@ -1698,7 +1719,11 @@ def dedup_minhash_clusters(spark, sf_dir):
     exact all-pairs ground-truth oracle (brute-force Jaccard + transitive
     closure in SQL) — the strongest check an approximate dedup can get:
     the banded-LSH path must reproduce the exact clusters end to end."""
-    return dedup.minhash_dedup_clusters(_t(spark, sf_dir, "documents"), jaccard_threshold=0.5)
+    caches: list = []
+    out = dedup.minhash_dedup_clusters(
+        _t(spark, sf_dir, "documents"), jaccard_threshold=0.5, caches=caches
+    )
+    return _finalize(out, caches)
 
 
 @q(
@@ -1800,8 +1825,13 @@ def sim_bruteforce_topk(spark, sf_dir):
 def sim_lsh_topk(spark, sf_dir):
     """Approximate LSH-bucketed top-k (rows-only driver check; recall vs the
     brute-force oracle asserted in tests/test_operators.py)."""
-    out = similarity.lsh_topk_neighbors(_t(spark, sf_dir, "embeddings"), k=3, n_tables=8, n_planes=10)
-    return out.select("query_id", "nbr_id", F.round("cosine", 4).alias("cosine"), "rank")
+    caches: list = []
+    out = similarity.lsh_topk_neighbors(
+        _t(spark, sf_dir, "embeddings"), k=3, n_tables=8, n_planes=10, caches=caches
+    )
+    return _finalize(
+        out.select("query_id", "nbr_id", F.round("cosine", 4).alias("cosine"), "rank"), caches
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1818,7 +1848,10 @@ def er_flagship_clusters(spark, sf_dir):
     t, _ = synth.transcripts_df(spark, synth.SynthConfig(n_conversations=120, seed=42))
     res = ERPipeline().run(spark, t)
     sizes = res.assignments.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return res.assignments.join(sizes, "cluster_id").select("conv_id", "cluster_id", "cluster_size")
+    out = res.assignments.join(sizes, "cluster_id").select(
+        "conv_id", "cluster_id", "cluster_size"
+    )
+    return _finalize(out, res.caches)
 
 
 @q("er_f1_metrics", None)
@@ -1856,7 +1889,8 @@ def er_candidate_pairs(spark, sf_dir):
 
     t, _ = synth.transcripts_df(spark, synth.SynthConfig(n_conversations=120, seed=42))
     pipe = ERPipeline()
-    return pipe.block(pipe.build_features(pipe.build_docs(t)))
+    out = pipe.block(pipe.build_features(pipe.build_docs(t)))
+    return _finalize(out, pipe.caches)
 
 
 _DERIVED_DOC_SQL = _CANON_SQL.format(c="replace(text, '. ', ' ␞ ')")
@@ -1919,7 +1953,7 @@ def er_docs_clusters(spark, sf_dir):
         F.col("conv_id").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
     )
-    return out
+    return _finalize(out, res.caches)
 
 
 @q(
@@ -1965,10 +1999,11 @@ def er_incremental_clusters(spark, sf_dir):
     new_t = transcripts.where(F.col("conv_id").cast("long") % 2 == 1)
     phase1 = ERPipeline().run(spark, old_t, compute_metrics=False)
     res = incremental.incremental_update(new_t, phase1.features, phase1.assignments)
-    return res.assignments.select(
+    out = res.assignments.select(
         F.col("conv_id").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
     )
+    return _finalize(out, phase1.caches + res.caches)
 
 
 @q("multimodal_features", None)
