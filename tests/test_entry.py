@@ -84,3 +84,28 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert set(df.columns) == {"conv_id", "cluster_id", "cluster_size"}
+
+
+def test_pipeline_registry_entries_release_caches(spark):
+    """The pipeline-style registry entries persist multi-consumer
+    intermediates; after the query returns (result localCheckpoint-ed),
+    no NEW cached RDDs may remain — the correctness runner executes all
+    registry queries in one long-lived session."""
+    jsc = spark.sparkContext._jsc  # JavaSparkContext → java.util.Map below
+
+    def persistent():
+        m = jsc.getPersistentRDDs()
+        return {int(k): m.get(k).toString() for k in m.keySet().toArray()}
+
+    before = set(persistent())
+    qs = entrymod.queries()
+    df = qs["er_candidate_pairs"](spark, SF_DIR)
+    assert df.count() >= 0
+    # the returned result's own localCheckpoint RDD is allowed to linger
+    # (released when df goes out of scope); persisted STAGE caches are not
+    leaked = {
+        k: v
+        for k, v in persistent().items()
+        if k not in before and "localCheckpoint" not in v
+    }
+    assert not leaked, f"leaked caches: {leaked}"
