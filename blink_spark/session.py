@@ -22,14 +22,19 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"
 
 
 def _master_cores(master: str, fallback: int) -> int:
-    """Parallelism of a ``local[N]`` master; ``fallback`` for cluster URLs
-    (there the caller should override via --conf with total executor cores)."""
+    """Parallelism of a ``local`` / ``local[N]`` / ``local[N,maxFailures]``
+    master; ``fallback`` for cluster URLs (there the caller should override
+    via --conf with total executor cores). Bare ``local`` is 1 core; the
+    maxFailures field is ignored."""
     import re
 
-    m = re.fullmatch(r"local\[(\d+|\*)\]", master)
+    m = re.fullmatch(r"local(\[(\d+|\*)(,\d+)?\])?", master)
     if not m:
         return fallback
-    return os.cpu_count() or fallback if m.group(1) == "*" else int(m.group(1))
+    n = m.group(2)
+    if n is None:
+        return 1
+    return os.cpu_count() or fallback if n == "*" else int(n)
 
 
 def get_spark(
@@ -64,7 +69,9 @@ def get_spark(
         # scaling legs ~10%). On a cluster, set to total executor cores.
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionNum",
-            str(_master_cores(master, fallback=sp)),
+            os.environ.get(
+                "SPARK_GRAFT_AQE_MIN_PARTITIONS", str(_master_cores(master, fallback=sp))
+            ),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # -- shuffle sizing ---------------------------------------------

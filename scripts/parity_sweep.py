@@ -33,6 +33,15 @@ def _exact(v):
     return v
 
 
+def _sort_key(row):
+    """None-safe ordering: None is unorderable against non-None in Python,
+    so sort on (is-None, value) per cell. The key stays value-based (no type
+    names) so equal values of different numeric types sort identically on
+    both engines — cross-engine type drift is the TYPE check's job, and a
+    type-aware key would misalign the row zip before it runs."""
+    return tuple((v is None, v if v is not None else 0) for v in row)
+
+
 def _close(a, b):
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
@@ -60,14 +69,19 @@ def main():
         try:
             sdf = qs[name](spark, sf_dir)
             scols = sdf.columns
+            assert len(set(scols)) == len(scols), f"duplicate spark columns: {scols}"
             sorder = sorted(range(len(scols)), key=lambda i: scols[i])
             srows = sorted(
-                tuple(_exact(r[i]) for i in sorder) for r in (tuple(x) for x in sdf.collect())
+                (tuple(_exact(r[i]) for i in sorder) for r in (tuple(x) for x in sdf.collect())),
+                key=_sort_key,
             )
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
+            assert len(set(dcols)) == len(dcols), f"duplicate oracle columns: {dcols}"
             dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
-            drows = sorted(tuple(_exact(r[i]) for i in dorder) for r in res.fetchall())
+            drows = sorted(
+                (tuple(_exact(r[i]) for i in dorder) for r in res.fetchall()), key=_sort_key
+            )
         except Exception as e:  # noqa: BLE001
             n_fail += 1
             print(f"FAIL  {name}: {type(e).__name__}: {str(e)[:200]}")
