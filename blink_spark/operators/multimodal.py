@@ -10,8 +10,13 @@ Codec status, stated honestly per modality:
   headers and PCM frames with stdlib ``wave`` + numpy (no external codec
   needed), and :func:`audio_features` extracts duration / RMS /
   zero-crossing-rate / band energies from the actual samples.
-* **image / video** — the container decoders (PNG/JPEG/H.264) are NOT
-  available in this environment, so the decode kernel is stubbed behind
+* **image (BMP / PPM / PGM)** — REAL decode: :func:`decode_image` parses
+  uncompressed BMP (24/32-bit BI_RGB) and binary netpbm (P6/P5) containers
+  with pure numpy — no codec library needed, the image analog of the
+  stdlib ``wave`` audio path — and :func:`image_features` extracts
+  per-channel mean/std + a grayscale histogram from the actual pixels.
+* **image (PNG/JPEG) / video (H.264)** — the compressed-container codecs
+  are NOT available in this environment, so those stay stubbed behind
   ``decoder=``: the default deterministic fake keeps the Spark-side
   plumbing (schema, batching, partitioning, UDF signatures) fully real and
   testable, and a real decoder (PIL/ffmpeg) drops in without touching the
@@ -76,7 +81,9 @@ def fake_decode(payload: bytes, kind: str, dim: int = 64) -> np.ndarray:
 
 def real_decode(payload: bytes, kind: str, dim: int = 64) -> np.ndarray:
     """Real decoder entry point. Audio (WAV) decodes for real via
-    :func:`decode_wav`; image/video codecs are absent in this environment."""
+    :func:`decode_wav`; images in uncompressed containers (BMP/PPM/PGM)
+    via :func:`decode_image`. Compressed image (PNG/JPEG) and video codecs
+    are absent in this environment."""
     if kind == "audio":
         samples, _sr = decode_wav(payload)
         # pool to a fixed-dim feature: dim equal-width mean-abs segments
@@ -86,9 +93,21 @@ def real_decode(payload: bytes, kind: str, dim: int = 64) -> np.ndarray:
         v = np.array([s.mean() if len(s) else 0.0 for s in seg], dtype=np.float32)
         n = float(np.linalg.norm(v))
         return v / n if n > 0 else v
+    if kind == "image":
+        px = decode_image(payload)
+        # pool to a fixed-dim feature: dim equal-area mean-luma tiles over
+        # the row-major pixel stream
+        if px.size == 0:
+            return np.zeros(dim, dtype=np.float32)
+        luma = px.astype(np.float32).mean(axis=2).ravel() / 255.0
+        seg = np.array_split(luma, dim)
+        v = np.array([s.mean() if len(s) else 0.0 for s in seg], dtype=np.float32)
+        n = float(np.linalg.norm(v))
+        return v / n if n > 0 else v
     raise NotImplementedError(
-        "image/video codecs are not installed in this environment; "
-        "pass decoder=fake_decode (default) or provide your own"
+        "compressed image (PNG/JPEG) and video codecs are not installed in "
+        "this environment; pass decoder=fake_decode (default) or provide "
+        "your own"
     )
 
 
@@ -117,6 +136,174 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if n_ch > 1:
         x = x.reshape(-1, n_ch).mean(axis=1)
     return x, sr
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """REAL image decode: uncompressed BMP or binary netpbm → (H, W, 3) uint8.
+
+    Pure numpy container parsing — the image analog of :func:`decode_wav`:
+
+    * **BMP** (``BM`` magic): BITMAPINFOHEADER, 24- or 32-bit, BI_RGB
+      (uncompressed) only. Rows are 4-byte padded, stored bottom-up in BGR
+      order (top-down when height is negative) — both normalized here.
+    * **PPM (P6) / PGM (P5)**: binary netpbm with maxval ≤ 255; grayscale
+      is replicated to 3 channels.
+
+    Raises ``ValueError`` on other containers (PNG/JPEG need a codec).
+    """
+    if not payload:
+        return np.zeros((0, 0, 3), dtype=np.uint8)
+    buf = bytes(payload)
+    if buf[:2] == b"BM":
+        return _decode_bmp(buf)
+    if buf[:2] in (b"P6", b"P5"):
+        return _decode_pnm(buf)
+    raise ValueError(
+        f"unsupported image container (magic {buf[:2]!r}): only uncompressed "
+        "BMP and binary PPM/PGM decode without a codec library"
+    )
+
+
+def _decode_bmp(buf: bytes) -> np.ndarray:
+    if len(buf) < 54:
+        raise ValueError("truncated BMP header")
+    data_offset = int.from_bytes(buf[10:14], "little")
+    hdr_size = int.from_bytes(buf[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width = int.from_bytes(buf[18:22], "little", signed=True)
+    height = int.from_bytes(buf[22:26], "little", signed=True)
+    bpp = int.from_bytes(buf[28:30], "little")
+    compression = int.from_bytes(buf[30:34], "little")
+    if compression != 0:
+        raise ValueError(f"compressed BMP (method {compression}) needs a codec")
+    if bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    bottom_up = height > 0
+    height = abs(height)
+    n_ch = bpp // 8
+    row_bytes = (width * n_ch + 3) & ~3  # rows pad to 4-byte boundaries
+    px = np.frombuffer(buf, dtype=np.uint8, count=row_bytes * height, offset=data_offset)
+    px = px.reshape(height, row_bytes)[:, : width * n_ch].reshape(height, width, n_ch)
+    if bottom_up:
+        px = px[::-1]
+    return np.ascontiguousarray(px[:, :, 2::-1])  # BGR(A) → RGB, drop alpha
+
+
+def _decode_pnm(buf: bytes) -> np.ndarray:
+    # header = magic, width, height, maxval as whitespace-separated ASCII
+    # tokens (with '#' comments), then ONE whitespace byte, then raster
+    magic = buf[:2]
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":
+            while pos < len(buf) and buf[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(buf[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    width, height, maxval = fields
+    if maxval > 255:
+        raise ValueError(f"16-bit netpbm (maxval {maxval}) not supported")
+    n_ch = 3 if magic == b"P6" else 1
+    px = np.frombuffer(buf, dtype=np.uint8, count=width * height * n_ch, offset=pos)
+    px = px.reshape(height, width, n_ch)
+    return np.ascontiguousarray(np.repeat(px, 3, axis=2) if n_ch == 1 else px)
+
+
+def bmp_bytes(px: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a REAL 24-bit BI_RGB BMP."""
+    h, w, _ = px.shape
+    row_bytes = (w * 3 + 3) & ~3
+    raster = np.zeros((h, row_bytes), dtype=np.uint8)
+    raster[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = raster.tobytes()
+    file_size = 54 + len(data)
+    header = (
+        b"BM"
+        + file_size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2  # 72 DPI
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + data
+
+
+def ppm_bytes(px: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a binary PPM (P6)."""
+    h, w, _ = px.shape
+    return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def pgm_bytes(px: np.ndarray) -> bytes:
+    """Encode an (H, W) uint8 grayscale array as a binary PGM (P5)."""
+    h, w = px.shape
+    return f"P5\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+_IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_rgb", T.ArrayType(T.DoubleType())),
+        T.StructField("std_rgb", T.ArrayType(T.DoubleType())),
+        T.StructField("luma_hist", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def image_features(media: DataFrame, n_bins: int = 8) -> DataFrame:
+    """Real image feature extraction over BMP/PPM/PGM payloads
+    (``kind='image'``).
+
+    Per image: dimensions, per-channel mean/std in [0, 1], and an
+    ``n_bins`` grayscale-luma histogram (L1-normalized) — all from the
+    DECODED pixels, batched per Arrow batch. The image sibling of
+    :func:`audio_features`; the reference's enrich pipeline has no media
+    path (out of scope per SURVEY), this is LLM-training-pipeline surface.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "width", "height", "mean_rgb", "std_rgb", "luma_hist")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_image(payload)
+                h, w = px.shape[:2]
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                if px.size == 0:
+                    out["mean_rgb"].append([0.0, 0.0, 0.0])
+                    out["std_rgb"].append([0.0, 0.0, 0.0])
+                    out["luma_hist"].append([0.0] * n_bins)
+                    continue
+                x = px.astype(np.float64) / 255.0
+                out["mean_rgb"].append(x.mean(axis=(0, 1)).tolist())
+                out["std_rgb"].append(x.std(axis=(0, 1)).tolist())
+                luma = x.mean(axis=2).ravel()
+                hist, _ = np.histogram(luma, bins=n_bins, range=(0.0, 1.0))
+                out["luma_hist"].append((hist / hist.sum()).tolist())
+            yield pd.DataFrame(out)
+
+    return (
+        media.where(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(gen, schema=_IMAGE_FEATURE_SCHEMA)
+    )
 
 
 _AUDIO_FEATURE_SCHEMA = T.StructType(
@@ -229,7 +416,9 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
 
     Audio rows carry VALID WAV payloads (sine tones at deterministic
     frequencies — the real :func:`decode_wav` path consumes them); image
-    and video rows carry opaque bytes for the stubbed codecs.
+    rows carry VALID BMP / PPM / PGM containers (deterministic gradient +
+    noise patterns — the real :func:`decode_image` path consumes them);
+    video rows carry opaque bytes for the stubbed codec.
     """
     rng = np.random.RandomState(seed)
     rows = []
@@ -237,25 +426,32 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     sr = 8000
     for i in range(n):
         kind = kinds[i % 3]
+        width = height = dur_ms = None
         if kind == "audio":
             dur_ms = int(rng.randint(500, 3000))
             freq = 110.0 * (1 + i % 8)
             t = np.arange(int(sr * dur_ms / 1000)) / sr
             payload = wav_bytes(0.5 * np.sin(2 * np.pi * freq * t), sr)
+            mime = "audio/wav"
+        elif kind == "image":
+            width = int(rng.randint(8, 64))
+            height = int(rng.randint(8, 64))
+            # horizontal gradient + per-channel offset + seeded noise
+            col = np.arange(width, dtype=np.float64) / max(width - 1, 1)
+            base = np.tile(col, (height, 1))[:, :, None] * 200.0
+            chan = np.array([0.0, 20.0, 40.0])[None, None, :]
+            noise = rng.randint(0, 16, size=(height, width, 3)).astype(np.float64)
+            px = np.clip(base + chan + noise, 0, 255).astype(np.uint8)
+            container = (i // 3) % 3  # rotate BMP → PPM → PGM across image rows
+            if container == 0:
+                payload, mime = bmp_bytes(px), "image/bmp"
+            elif container == 1:
+                payload, mime = ppm_bytes(px), "image/x-portable-pixmap"
+            else:
+                payload, mime = pgm_bytes(px.mean(axis=2).astype(np.uint8)), "image/x-portable-graymap"
         else:
-            dur_ms = int(rng.randint(500, 10_000)) if kind == "video" else None
+            dur_ms = int(rng.randint(500, 10_000))
             payload = rng.bytes(int(rng.randint(64, 2048)))
-        rows.append(
-            (
-                i,
-                kind,
-                bytearray(payload),
-                (
-                    {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                    int(rng.randint(16, 512)) if kind == "image" else None,
-                    int(rng.randint(16, 512)) if kind == "image" else None,
-                    dur_ms,
-                ),
-            )
-        )
+            mime = "video/mp4"
+        rows.append((i, kind, bytearray(payload), (mime, width, height, dur_ms)))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

@@ -154,8 +154,12 @@ def test_extract_features_deterministic_and_shaped(spark):
 
 
 def test_real_decoder_is_explicit_stub():
+    # video (and any compressed container) stays an explicit stub
     with pytest.raises(NotImplementedError):
-        multimodal.real_decode(b"bytes", "image")
+        multimodal.real_decode(b"bytes", "video")
+    # compressed image containers fail loudly, not silently
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n....")
 
 
 def test_frame_sample_plan(spark):
@@ -166,6 +170,72 @@ def test_frame_sample_plan(spark):
     assert {r["media_id"] for r in rows} == vids
     for r in rows:
         assert r["frame_ts_ms"] % 1000 == 0
+
+
+# ---- real image decode ------------------------------------------------------
+
+def test_decode_image_roundtrips():
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(5, 7, 3)).astype(np.uint8)  # odd width → BMP row padding
+    assert np.array_equal(multimodal.decode_image(multimodal.bmp_bytes(px)), px)
+    assert np.array_equal(multimodal.decode_image(multimodal.ppm_bytes(px)), px)
+    g = rng.randint(0, 256, size=(4, 6)).astype(np.uint8)
+    out = multimodal.decode_image(multimodal.pgm_bytes(g))
+    assert out.shape == (4, 6, 3)
+    for c in range(3):
+        assert np.array_equal(out[:, :, c], g)
+
+
+def test_image_features_known_pixels(spark):
+    """Constant-color and gradient images have closed-form features."""
+    const = np.full((8, 8, 3), 51, dtype=np.uint8)  # 51/255 = 0.2 exactly
+    grad = np.zeros((2, 256, 3), dtype=np.uint8)
+    grad[:, :, :] = np.arange(256, dtype=np.uint8)[None, :, None]
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(multimodal.bmp_bytes(const)), ("image/bmp", 8, 8, None)),
+            (2, "image", bytearray(multimodal.ppm_bytes(grad)), ("image/x-portable-pixmap", 256, 2, None)),
+        ],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in multimodal.image_features(media).collect()}
+    r1 = rows[1]
+    assert (r1["width"], r1["height"]) == (8, 8)
+    assert all(abs(m - 0.2) < 1e-12 for m in r1["mean_rgb"])
+    assert all(abs(s) < 1e-12 for s in r1["std_rgb"])  # constant image (mean-sub float fuzz)
+    # constant luma 0.2 lands entirely in bin 1 of 8 ([0.125, 0.25))
+    assert r1["luma_hist"][1] == 1.0 and sum(r1["luma_hist"]) == 1.0
+    r2 = rows[2]
+    assert (r2["width"], r2["height"]) == (256, 2)
+    # uniform 0..255 gradient: mean = 127.5/255, histogram flat at 1/8
+    assert all(abs(m - 127.5 / 255) < 1e-12 for m in r2["mean_rgb"])
+    assert all(abs(b - 0.125) < 1e-12 for b in r2["luma_hist"])
+
+
+def test_synth_image_payloads_decode_everywhere(spark):
+    """Every synthetic image row (BMP, PPM, and PGM containers) decodes and
+    matches its metadata dimensions."""
+    media = multimodal.synth_media(spark, n=30, seed=5)
+    imgs = media.where(F.col("kind") == "image")
+    feats = {r["media_id"]: r for r in multimodal.image_features(imgs).collect()}
+    metas = {r["media_id"]: r["meta"] for r in imgs.collect()}
+    assert len(feats) == 10 and set(feats) == set(metas)
+    mimes = set()
+    for mid, meta in metas.items():
+        mimes.add(meta["mime"])
+        assert feats[mid]["width"] == meta["width"]
+        assert feats[mid]["height"] == meta["height"]
+        assert sum(feats[mid]["luma_hist"]) == pytest.approx(1.0)
+    assert mimes == {"image/bmp", "image/x-portable-pixmap", "image/x-portable-graymap"}
+
+
+def test_real_decode_image_feature_vector():
+    px = np.full((16, 16, 3), 200, dtype=np.uint8)
+    v = multimodal.real_decode(multimodal.ppm_bytes(px), "image", dim=16)
+    assert v.shape == (16,)
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
+    # constant image → identical tile means → uniform unit vector
+    assert np.allclose(v, v[0])
 
 
 # ---- P10 context quota window ----------------------------------------------
