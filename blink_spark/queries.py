@@ -53,12 +53,64 @@ def _finalize(df: DataFrame, caches: list) -> DataFrame:
     ContextCleaner's GC-driven cleanup). The result must be materialized
     BEFORE the caches go away — ``localCheckpoint`` is eager, runs the plan
     once, and the caller's later collect reads the checkpointed partitions.
+
+    Trade-off, stated explicitly: the checkpoint RDD itself (one RESULT per
+    pipeline-style query, MEMORY_AND_DISK) is released only when the
+    returned DataFrame is GC'd (ContextCleaner). That is deliberate — the
+    results here are driver-scale (≤ ~10^4 rows at correctness sf), so a
+    handful of lingering result partitions is noise, while the STAGE caches
+    released above are the sf-scaled ones that would actually accumulate.
+    A runner that wants full determinism can unpersist the returned
+    DataFrame after collecting it.
     """
     out = df.localCheckpoint()
     for c in caches:
         c.unpersist()
     caches.clear()
     return out
+
+
+# Constant-oracle VALUES tables for seeded/deterministic entries (generated
+# by scripts/gen_const_oracles.py — regression pins, not independent truth;
+# independent correctness for those entries lives in tests/).
+try:
+    from blink_spark.const_oracles import CONST_ORACLES
+except ImportError:  # before first generation
+    CONST_ORACLES = {}
+
+
+_FLAGSHIP_CACHE: dict = {}
+
+
+def _flagship_run(spark: SparkSession, n_conversations: int = 120, seed: int = 42):
+    """Memoized flagship corpus + pipeline run shared by the er_* entries.
+
+    The correctness runner executes every registry entry in one session;
+    without memoization each er_* entry re-synthesizes the corpus and
+    re-runs the full pipeline (5 runs if all five are checked in a round).
+    One run per (session, corpus) instead: results are localCheckpoint-ed
+    (eager, plan-free) and stage caches released immediately.
+    Returns (transcripts, labels, assignments, pairs).
+    """
+    key = (spark.sparkContext.applicationId, n_conversations, seed)
+    if key not in _FLAGSHIP_CACHE:
+        from blink_spark import synth
+        from blink_spark.pipeline import ERPipeline
+
+        t, labels = synth.transcripts_df(
+            spark, synth.SynthConfig(n_conversations=n_conversations, seed=seed)
+        )
+        res = ERPipeline().run(spark, t, compute_metrics=False)
+        out = (
+            t.localCheckpoint(),
+            labels.localCheckpoint(),
+            res.assignments.localCheckpoint(),
+            res.pairs.localCheckpoint(),
+        )
+        res.unpersist()
+        _FLAGSHIP_CACHE.clear()  # at most one corpus cached per session
+        _FLAGSHIP_CACHE[key] = out
+    return _FLAGSHIP_CACHE[key]
 
 
 # each value: (fn(spark, sf_dir) -> DataFrame, oracle_sql | None)
@@ -1841,31 +1893,22 @@ def sim_lsh_topk(spark, sf_dir):
 @q("er_flagship_clusters", None)
 def er_flagship_clusters(spark, sf_dir):
     """Flagship: full block→score→cluster ER run over a deterministic
-    synthetic transcript corpus; returns (conv_id, cluster_id, cluster_size)."""
-    from blink_spark import synth
-    from blink_spark.pipeline import ERPipeline
-
-    t, _ = synth.transcripts_df(spark, synth.SynthConfig(n_conversations=120, seed=42))
-    res = ERPipeline().run(spark, t)
-    sizes = res.assignments.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    out = res.assignments.join(sizes, "cluster_id").select(
-        "conv_id", "cluster_id", "cluster_size"
-    )
-    return _finalize(out, res.caches)
+    synthetic transcript corpus; returns (conv_id, cluster_id, cluster_size).
+    Corpus + pipeline run memoized across the er_* entries (_flagship_run)."""
+    _, _, assignments, _ = _flagship_run(spark)
+    sizes = assignments.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return assignments.join(sizes, "cluster_id").select("conv_id", "cluster_id", "cluster_size")
 
 
 @q("er_f1_metrics", None)
 def er_f1_metrics(spark, sf_dir):
     """The BASELINE.json gate as a queryable row: pairwise P/R/F1 of the
     flagship ER run against the planted labels (expect F1 = 1.0)."""
-    from blink_spark import metrics, synth
-    from blink_spark.pipeline import ERPipeline
+    from blink_spark import metrics
 
-    t, labels = synth.transcripts_df(spark, synth.SynthConfig(n_conversations=120, seed=42))
-    res = ERPipeline().run(spark, t, compute_metrics=False)
-    m = metrics.pairwise_f1(res.assignments, labels)
-    br = metrics.blocking_recall(res.pairs, labels)
-    res.unpersist()  # metrics are driver scalars now; release stage caches
+    _, labels, assignments, pairs = _flagship_run(spark)
+    m = metrics.pairwise_f1(assignments, labels)
+    br = metrics.blocking_recall(pairs, labels)
     return spark.createDataFrame(
         [
             (
@@ -1881,16 +1924,20 @@ def er_f1_metrics(spark, sf_dir):
     )
 
 
-@q("er_candidate_pairs", None)
+@q("er_candidate_pairs", CONST_ORACLES.get("er_candidate_pairs"))
 def er_candidate_pairs(spark, sf_dir):
-    """Stage-1 blocking output: candidate pairs for the synthetic corpus."""
-    from blink_spark import synth
-    from blink_spark.pipeline import ERPipeline
+    """Stage-1 blocking output: candidate pairs for the synthetic corpus.
 
-    t, _ = synth.transcripts_df(spark, synth.SynthConfig(n_conversations=120, seed=42))
-    pipe = ERPipeline()
-    out = pipe.block(pipe.build_features(pipe.build_docs(t)))
-    return _finalize(out, pipe.caches)
+    The run is deterministic by design (seeded corpus, seeded MinHash
+    permutations, seeded band keys — asserted in tests), so the expected
+    pair set is pinned as a constant VALUES oracle
+    (scripts/gen_const_oracles.py) — upgrading this entry from rows-only to
+    value-checked per round-2 review."""
+    _, _, _, pairs = _flagship_run(spark)
+    return pairs.select(
+        F.col("conv_a").cast("string").alias("conv_a"),
+        F.col("conv_b").cast("string").alias("conv_b"),
+    )
 
 
 _DERIVED_DOC_SQL = _CANON_SQL.format(c="replace(text, '. ', ' ␞ ')")
@@ -2035,6 +2082,206 @@ def multimodal_frame_plan(spark, sf_dir):
     """Video frame-sampling fan-out plan (pure metadata column math)."""
     media = multimodal.synth_media(spark, n=64, seed=42)
     return multimodal.frame_sample_plan(media, every_ms=1000)
+
+
+@q("multimodal_image_features", CONST_ORACLES.get("multimodal_image_features"))
+def multimodal_image_features(spark, sf_dir):
+    """REAL image decode path: BMP/PPM/PGM container → pixels → per-channel
+    mean/std + grayscale histogram (pure numpy, no codec — the image analog
+    of the stdlib-wave audio path). Known-pixel correctness (constant color,
+    exact gradient) is asserted in tests/test_operators.py; the deterministic
+    synth corpus output is pinned as a constant VALUES oracle."""
+    media = multimodal.synth_media(spark, n=64, seed=42)
+    out = multimodal.image_features(media)
+    f4 = lambda c: F.round(c, 4)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        f4(F.element_at("mean_rgb", 1)).alias("mean_r"),
+        f4(F.element_at("mean_rgb", 2)).alias("mean_g"),
+        f4(F.element_at("mean_rgb", 3)).alias("mean_b"),
+        f4(F.element_at("std_rgb", 1)).alias("std_r"),
+        F.array_join(
+            F.transform("luma_hist", lambda x: F.round(x, 4).cast("string")), ","
+        ).alias("hist"),
+    )
+
+
+@q("sim_lsh_planted_topk", CONST_ORACLES.get("sim_lsh_planted_topk"))
+def sim_lsh_planted_topk(spark, sf_dir):
+    """J3 upgraded to value-checked: LSH top-k over a PLANTED deterministic
+    corpus (60 seeded base vectors × 3 jittered variants) whose expected
+    output is pinned as a constant VALUES oracle — the seeded hyperplanes
+    make the run bit-deterministic (asserted in tests). Recall vs the exact
+    brute force stays separately asserted in tests/test_operators.py; the
+    sf-scaled rows-only leg remains `sim_lsh_topk`."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((60, 16))
+    rows = []
+    for i in range(60):
+        for v in range(3):
+            vec = base[i] + 0.05 * rng.standard_normal(16)
+            vec = vec / np.linalg.norm(vec)
+            rows.append((i * 3 + v, [float(x) for x in vec]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    caches: list = []
+    out = similarity.lsh_topk_neighbors(
+        emb, k=3, n_planes=8, n_tables=6, seed=11, caches=caches
+    )
+    return _finalize(
+        out.select("query_id", "nbr_id", F.round("cosine", 4).alias("cosine"), "rank"), caches
+    )
+
+
+@q(
+    "s13_blocking_index_sink",
+    f"""WITH g AS (
+          SELECT doc_id, unnest(grams) AS gram FROM (
+            SELECT doc_id, {_GRAMS_SQL} AS grams
+            FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)))
+       SELECT CAST(floor(doc_id / 50) AS BIGINT) AS batch_id,
+              COUNT(*) AS n_keys, COUNT(DISTINCT gram) AS n_distinct_grams,
+              COUNT(DISTINCT doc_id) AS n_docs
+       FROM g GROUP BY 1""",
+)
+def s13_blocking_index_sink(spark, sf_dir):
+    """S13: bulk index-ingestion sink analog
+    (`blink/candidate_retrieval/data_ingestion.py:157-183` commits documents
+    to Solr in fixed-size batches): the engine's "index" is the materialized
+    blocking-key table, written batch-partitioned (one partition directory
+    per ingest batch of 50 docs), re-read as a table, and aggregated per
+    batch against a source-view oracle — the sink round trip is
+    value-checked like `s15_chunked_sink_merge`."""
+    import os as _os
+
+    d = _t(spark, sf_dir, "documents")
+    keys = d.select("doc_id", tokens(F.col("text")).alias("t")).select(
+        "doc_id", F.explode(F.array_distinct(token_ngrams_from_tokens(F.col("t"), 3))).alias("gram")
+    )
+    idx = keys.withColumn("batch_id", F.floor(F.col("doc_id") / 50).cast("long"))
+    path = f"/tmp/blink_fixtures/{_os.path.basename(sf_dir.rstrip('/'))}_s13_index.parquet"
+    idx.write.partitionBy("batch_id").mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("batch_id").cast("long").alias("batch_id")).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.countDistinct("gram").alias("n_distinct_grams"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-window ordering. The correctness runner checks the FIRST 50 registry
+# entries in insertion order, so insertion order is a per-round rotation
+# policy (tracked in PARITY.md): entries that have never had a driver row go
+# first — above all the flagship end-to-end oracles — and entries already
+# green in BOTH previous rounds rotate to the back. Definition order above
+# stays grouped by operator family for readability; this list is the only
+# place ordering is decided.
+# ---------------------------------------------------------------------------
+
+_DRIVER_ORDER = [
+    # -- flagship & strongest oracles (never driver-checked before r3) ------
+    "er_docs_clusters",
+    "er_incremental_clusters",
+    "dedup_minhash_clusters",
+    "sim_bruteforce_topk",
+    "er_candidate_pairs",
+    "er_f1_metrics",
+    "er_flagship_clusters",
+    "sim_lsh_planted_topk",
+    "dedup_simhash_pairs",
+    "sim_lsh_topk",
+    # -- oracle-bearing, zero driver rows across r1-r2 -----------------------
+    "p5_p6_gold_filter",
+    "p11_entity_text_projection",
+    "f_array_bundle",
+    "s14_jsonl_writer_roundtrip",
+    "s15_chunked_sink_merge",
+    "skew_salted_agg",
+    "text_langid",
+    "text_fingerprint",
+    # -- new in round 3 ------------------------------------------------------
+    "s13_blocking_index_sink",
+    "multimodal_image_features",
+    # -- rows-only entries, zero driver rows across r1-r2 --------------------
+    "multimodal_features",
+    "multimodal_audio_features",
+    "multimodal_frame_plan",
+    # -- green in r1 only (rotated out of the r2 window) ---------------------
+    "so4_semi_membership",
+    "f_string_bundle",
+    "f_math_bundle",
+    "f_json_bundle",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_neardup",
+    "text_token_stats",
+    "text_quality",
+    # -- green in r2 only -----------------------------------------------------
+    "s1_catalog_scan",
+    "s5_tsv_positional_scan",
+    "s6_conll_scan",
+    "s2_mention_scan_remap",
+    "s3_jsonl_limit_scan",
+    "s7_doc_block_reassembly",
+    "p12_alias_emoji_filter",
+    "s11_sqlite_scan",
+    "p10_context_quota_fit",
+    "s9_link_extraction_chain",
+    "s10_nested_json",
+    "j4_bm25_scored_topk",
+    "j5_ranked_candidates",
+    "a7_cumulative_histogram",
+    "t2_sessionization",
+    "w4_greedy_overlap_prune",
+    "so2_partition_union",
+    # -- double-green canary (slot 50) ----------------------------------------
+    "j1_broadcast_dim_join",
+    # ==== driver window ends here (first 50) ================================
+    # -- green in BOTH r1 and r2, oracle unchanged — rotated out --------------
+    "s17_sentence_split",
+    "p1_normalize",
+    "p3_min_token_filter",
+    "p4_keyword_filter",
+    "p8_context_window",
+    "p9_lag_lead",
+    "j6_fallback_join",
+    "j8_link_count_join",
+    "j4_token_blocking_join",
+    "j5_prior_fallback_join",
+    "j7_containment_selfjoin",
+    "j10_array_position",
+    "j12_interval_overlap_join",
+    "a1_recall_at_k",
+    "a2_a5_rank_histogram",
+    "a3_a4_accuracy",
+    "a6_rollup_by_group",
+    "a8_prf1",
+    "a9_macro_micro",
+    "a10_mrr",
+    "a12_dedup_stats",
+    "a13_group_collect",
+    "a11_match_rate_counters",
+    "t1_time_window_agg",
+    "w1_topk_per_group",
+    "w2_rank_argsort",
+    "w3_topk_threshold_fallback",
+    "w6_ordered_collect",
+    "u10_joint_score_threshold",
+    "w8_best_epoch",
+    "so1_union",
+    "so3_except_anti",
+]
+
+_extra = set(REGISTRY) - set(_DRIVER_ORDER)
+_missing = set(_DRIVER_ORDER) - set(REGISTRY)
+assert not _extra and not _missing, (
+    f"_DRIVER_ORDER out of sync: unordered={sorted(_extra)} unknown={sorted(_missing)}"
+)
+REGISTRY = {name: REGISTRY[name] for name in _DRIVER_ORDER}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
