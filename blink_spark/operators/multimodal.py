@@ -10,24 +10,26 @@ Codec status, stated honestly per modality:
   headers and PCM frames with stdlib ``wave`` + numpy (no external codec
   needed), and :func:`audio_features` extracts duration / RMS /
   zero-crossing-rate / band energies from the actual samples.
-* **image (BMP / PPM / PGM)** — REAL decode: :func:`decode_image` parses
-  uncompressed BMP (24/32-bit BI_RGB) and binary netpbm (P6/P5) containers
-  with pure numpy — no codec library needed, the image analog of the
-  stdlib ``wave`` audio path — and :func:`image_features` extracts
+* **image (BMP / PPM / PGM / PNG)** — REAL decode: :func:`decode_image`
+  parses uncompressed BMP (24/32-bit BI_RGB), binary netpbm (P6/P5), and
+  PNG (8-bit, non-interlaced — the DEFLATE stream is stdlib ``zlib``, all
+  five scanline filters implemented in :func:`_png_unfilter_row`) with
+  numpy — no external codec library — and :func:`image_features` extracts
   per-channel mean/std + a grayscale histogram from the actual pixels.
-* **image (PNG/JPEG) / video (H.264)** — the compressed-container codecs
-  are NOT available in this environment, so those stay stubbed behind
-  ``decoder=``: the default deterministic fake keeps the Spark-side
-  plumbing (schema, batching, partitioning, UDF signatures) fully real and
-  testable, and a real decoder (PIL/ffmpeg) drops in without touching the
-  plan.
+* **image (JPEG) / video (H.264)** — DCT/entropy codecs are NOT available
+  in this environment, so those stay stubbed behind ``decoder=``: the
+  default deterministic fake keeps the Spark-side plumbing (schema,
+  batching, partitioning, UDF signatures) fully real and testable, and a
+  real decoder (PIL/ffmpeg) drops in without touching the plan.
 """
 
 from __future__ import annotations
 
 import hashlib
 import io
+import struct
 import wave
+import zlib
 from typing import Callable, Iterator
 
 import numpy as np
@@ -81,9 +83,8 @@ def fake_decode(payload: bytes, kind: str, dim: int = 64) -> np.ndarray:
 
 def real_decode(payload: bytes, kind: str, dim: int = 64) -> np.ndarray:
     """Real decoder entry point. Audio (WAV) decodes for real via
-    :func:`decode_wav`; images in uncompressed containers (BMP/PPM/PGM)
-    via :func:`decode_image`. Compressed image (PNG/JPEG) and video codecs
-    are absent in this environment."""
+    :func:`decode_wav`; images (BMP/PPM/PGM/PNG) via :func:`decode_image`.
+    JPEG and video codecs are absent in this environment."""
     if kind == "audio":
         samples, _sr = decode_wav(payload)
         # pool to a fixed-dim feature: dim equal-width mean-abs segments
@@ -105,9 +106,8 @@ def real_decode(payload: bytes, kind: str, dim: int = 64) -> np.ndarray:
         n = float(np.linalg.norm(v))
         return v / n if n > 0 else v
     raise NotImplementedError(
-        "compressed image (PNG/JPEG) and video codecs are not installed in "
-        "this environment; pass decoder=fake_decode (default) or provide "
-        "your own"
+        "JPEG and video codecs are not installed in this environment; pass "
+        "decoder=fake_decode (default) or provide your own"
     )
 
 
@@ -139,17 +139,19 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """REAL image decode: uncompressed BMP or binary netpbm → (H, W, 3) uint8.
+    """REAL image decode: BMP, binary netpbm, or PNG → (H, W, 3) uint8.
 
-    Pure numpy container parsing — the image analog of :func:`decode_wav`:
+    Stdlib + numpy container parsing — the image analog of :func:`decode_wav`:
 
     * **BMP** (``BM`` magic): BITMAPINFOHEADER, 24- or 32-bit, BI_RGB
       (uncompressed) only. Rows are 4-byte padded, stored bottom-up in BGR
       order (top-down when height is negative) — both normalized here.
     * **PPM (P6) / PGM (P5)**: binary netpbm with maxval ≤ 255; grayscale
       is replicated to 3 channels.
+    * **PNG**: 8-bit non-interlaced via :func:`decode_png` — the DEFLATE
+      stream is stdlib ``zlib``, so PNG needs no external codec either.
 
-    Raises ``ValueError`` on other containers (PNG/JPEG need a codec).
+    Raises ``ValueError`` on other containers (JPEG needs a DCT codec).
     """
     if not payload:
         return np.zeros((0, 0, 3), dtype=np.uint8)
@@ -158,9 +160,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_bmp(buf)
     if buf[:2] in (b"P6", b"P5"):
         return _decode_pnm(buf)
+    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(buf)
     raise ValueError(
-        f"unsupported image container (magic {buf[:2]!r}): only uncompressed "
-        "BMP and binary PPM/PGM decode without a codec library"
+        f"unsupported image container (magic {buf[:2]!r}): BMP, binary "
+        "PPM/PGM, and PNG decode without a codec library; JPEG does not"
     )
 
 
@@ -252,6 +256,158 @@ def pgm_bytes(px: np.ndarray) -> bytes:
     """Encode an (H, W) uint8 grayscale array as a binary PGM (P5)."""
     h, w = px.shape
     return f"P5\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def png_bytes(px: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode (H, W, 3|4) RGB(A) or (H, W) gray uint8 → PNG (8-bit,
+    non-interlaced, single IDAT).
+
+    ``filter_type`` applies one scanline filter to every row (0=None,
+    1=Sub, 2=Up, 3=Average, 4=Paeth) — the non-zero types exist so tests
+    can exercise every unfilter path in :func:`decode_png`.
+    """
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape[:2]
+    ch = 1 if px.ndim == 2 else px.shape[2]
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    raw = px.reshape(h, w * ch)
+    stream = bytearray()
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        stream.append(filter_type)
+        stream += _png_filter_row(filter_type, raw[y], prev, ch).tobytes()
+        prev = raw[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(stream), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_filter_row(ft: int, row: np.ndarray, prev: np.ndarray, ch: int) -> np.ndarray:
+    """Apply scanline filter ``ft`` (encoder side; whole-row numpy)."""
+    if ft == 0:
+        return row.copy()
+    r, p = row.astype(np.int16), prev.astype(np.int16)
+    left = np.zeros_like(r)
+    left[ch:] = r[:-ch]
+    upleft = np.zeros_like(p)
+    upleft[ch:] = p[:-ch]
+    pred = {
+        1: left,
+        2: p,
+        3: (left + p) // 2,
+        4: _paeth_predict(left, p, upleft),
+    }[ft]
+    return ((r - pred) % 256).astype(np.uint8)
+
+
+def _paeth_predict(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec §9.4), vectorized over a row."""
+    pa, pb, pc = np.abs(b - c), np.abs(a - c), np.abs(a + b - 2 * c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """REAL PNG decode: 8-bit non-interlaced → (H, W, 3) uint8.
+
+    PNG is chunked DEFLATE — and DEFLATE is stdlib ``zlib`` — so no
+    external codec is needed; only JPEG's DCT/entropy coding is. Supports
+    color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA)
+    at bit depth 8 and all five scanline filters; rejects 16-bit and
+    interlaced (Adam7) images with ``ValueError``. Alpha is dropped and
+    gray replicated, matching the other containers' (H, W, 3) contract.
+    """
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, width, plte, idat = 8, None, None, bytearray()
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack(">I", buf[pos : pos + 4])
+        tag = buf[pos + 4 : pos + 8]
+        body = buf[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + body + crc
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {bit_depth} (8 only)")
+    if interlace:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if n_ch is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * n_ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("corrupt PNG raster length")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        out[y] = _png_unfilter_row(int(arr[y, 0]), arr[y, 1:], prev, n_ch)
+        prev = out[y]
+    px = out.reshape(height, width, n_ch)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return np.ascontiguousarray(plte[px[:, :, 0]])
+    if n_ch == 1:
+        return np.repeat(px, 3, axis=2)
+    if n_ch == 2:  # gray + alpha → replicate gray, drop alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return np.ascontiguousarray(px[:, :, :3])  # RGB / RGBA → RGB
+
+
+def _png_unfilter_row(ft: int, row: np.ndarray, prev: np.ndarray, ch: int) -> np.ndarray:
+    """Invert scanline filter ``ft``. None/Up/Sub are whole-row numpy
+    (Sub's left-prefix dependency is a per-channel-lane cumsum); Average
+    and Paeth are inherently sequential along x (each pixel's predictor
+    reads the just-decoded left neighbor), looped per byte — decode cost
+    is per-image-row Python only inside an Arrow-batched UDF, the same
+    budget as the WAV path."""
+    if ft == 0:
+        return row.astype(np.uint8)
+    if ft == 2:
+        return (row.astype(np.int16) + prev).astype(np.uint8)
+    n = len(row)
+    if ft == 1:  # Sub: recon(x) = raw(x) + recon(x-ch) → cumsum per lane
+        out = np.zeros(n, dtype=np.uint8)
+        for c in range(ch):
+            out[c::ch] = (np.cumsum(row[c::ch].astype(np.int64)) % 256).astype(np.uint8)
+        return out
+    out = np.zeros(n, dtype=np.int16)
+    pr = prev.astype(np.int16)
+    if ft == 3:  # Average
+        for i in range(n):
+            a = int(out[i - ch]) if i >= ch else 0
+            out[i] = (int(row[i]) + (a + int(pr[i])) // 2) % 256
+        return out.astype(np.uint8)
+    if ft == 4:  # Paeth
+        for i in range(n):
+            a = int(out[i - ch]) if i >= ch else 0
+            b = int(pr[i])
+            c = int(pr[i - ch]) if i >= ch else 0
+            pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[i] = (int(row[i]) + pred) % 256
+        return out.astype(np.uint8)
+    raise ValueError(f"bad PNG filter byte {ft}")
 
 
 _IMAGE_FEATURE_SCHEMA = T.StructType(
@@ -416,9 +572,10 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
 
     Audio rows carry VALID WAV payloads (sine tones at deterministic
     frequencies — the real :func:`decode_wav` path consumes them); image
-    rows carry VALID BMP / PPM / PGM containers (deterministic gradient +
-    noise patterns — the real :func:`decode_image` path consumes them);
-    video rows carry opaque bytes for the stubbed codec.
+    rows carry VALID BMP / PPM / PGM / PNG containers (deterministic
+    gradient + noise patterns, PNG rows sweeping all five scanline filters
+    — the real :func:`decode_image` path consumes them); video rows carry
+    opaque bytes for the stubbed codec.
     """
     rng = np.random.RandomState(seed)
     rows = []
@@ -442,13 +599,16 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             chan = np.array([0.0, 20.0, 40.0])[None, None, :]
             noise = rng.randint(0, 16, size=(height, width, 3)).astype(np.float64)
             px = np.clip(base + chan + noise, 0, 255).astype(np.uint8)
-            container = (i // 3) % 3  # rotate BMP → PPM → PGM across image rows
+            container = (i // 3) % 4  # rotate BMP → PPM → PGM → PNG across image rows
             if container == 0:
                 payload, mime = bmp_bytes(px), "image/bmp"
             elif container == 1:
                 payload, mime = ppm_bytes(px), "image/x-portable-pixmap"
-            else:
+            elif container == 2:
                 payload, mime = pgm_bytes(px.mean(axis=2).astype(np.uint8)), "image/x-portable-graymap"
+            else:
+                # PNG rows sweep the filter space so every unfilter path runs
+                payload, mime = png_bytes(px, filter_type=(i // 12) % 5), "image/png"
         else:
             dur_ms = int(rng.randint(500, 10_000))
             payload = rng.bytes(int(rng.randint(64, 2048)))

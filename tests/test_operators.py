@@ -154,12 +154,12 @@ def test_extract_features_deterministic_and_shaped(spark):
 
 
 def test_real_decoder_is_explicit_stub():
-    # video (and any compressed container) stays an explicit stub
+    # video (and JPEG, the one image container left) stays an explicit stub
     with pytest.raises(NotImplementedError):
         multimodal.real_decode(b"bytes", "video")
-    # compressed image containers fail loudly, not silently
+    # JPEG fails loudly, not silently (DCT codec genuinely absent)
     with pytest.raises(ValueError):
-        multimodal.decode_image(b"\x89PNG\r\n\x1a\n....")
+        multimodal.decode_image(b"\xff\xd8\xff\xe0....")
 
 
 def test_frame_sample_plan(spark):
@@ -184,6 +184,47 @@ def test_decode_image_roundtrips():
     assert out.shape == (4, 6, 3)
     for c in range(3):
         assert np.array_equal(out[:, :, c], g)
+
+
+def test_decode_png_roundtrips_all_filters():
+    """Every PNG scanline filter (None/Sub/Up/Average/Paeth) unfilters back
+    to the exact source pixels, for RGB, gray, and RGBA color types."""
+    rng = np.random.RandomState(3)
+    for shape in [(5, 7, 3), (1, 1, 3), (4, 6), (16, 3, 3)]:
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+        want = px if px.ndim == 3 else np.repeat(px[:, :, None], 3, axis=2)
+        for ft in range(5):
+            got = multimodal.decode_image(multimodal.png_bytes(px, filter_type=ft))
+            assert np.array_equal(got, want), (shape, ft)
+    rgba = rng.randint(0, 256, size=(6, 5, 4)).astype(np.uint8)
+    assert np.array_equal(multimodal.decode_png(multimodal.png_bytes(rgba)), rgba[:, :, :3])
+
+
+def test_decode_png_palette_and_rejections():
+    # hand-built palette (color type 3) PNG: 2×2 indices into a 3-entry PLTE
+    import struct as _s
+    import zlib as _z
+
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raster = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 0])  # filter 0 rows
+    def chunk(tag, body):
+        return _s.pack(">I", len(body)) + tag + body + _s.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+    buf = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+           + chunk(b"PLTE", plte)
+           + chunk(b"IDAT", _z.compress(raster))
+           + chunk(b"IEND", b""))
+    px = multimodal.decode_png(buf)
+    assert px.tolist() == [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 0, 0]]]
+    # 16-bit and interlaced are rejected loudly
+    bad_depth = (b"\x89PNG\r\n\x1a\n"
+                 + chunk(b"IHDR", _s.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)))
+    with pytest.raises(ValueError, match="bit depth"):
+        multimodal.decode_png(bad_depth)
+    interlaced = (b"\x89PNG\r\n\x1a\n"
+                  + chunk(b"IHDR", _s.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)))
+    with pytest.raises(ValueError, match="Adam7"):
+        multimodal.decode_png(interlaced)
 
 
 def test_image_features_known_pixels(spark):
@@ -213,20 +254,25 @@ def test_image_features_known_pixels(spark):
 
 
 def test_synth_image_payloads_decode_everywhere(spark):
-    """Every synthetic image row (BMP, PPM, and PGM containers) decodes and
-    matches its metadata dimensions."""
-    media = multimodal.synth_media(spark, n=30, seed=5)
+    """Every synthetic image row (BMP, PPM, PGM, and PNG containers) decodes
+    and matches its metadata dimensions."""
+    media = multimodal.synth_media(spark, n=40, seed=5)
     imgs = media.where(F.col("kind") == "image")
     feats = {r["media_id"]: r for r in multimodal.image_features(imgs).collect()}
     metas = {r["media_id"]: r["meta"] for r in imgs.collect()}
-    assert len(feats) == 10 and set(feats) == set(metas)
+    assert len(feats) == 14 and set(feats) == set(metas)
     mimes = set()
     for mid, meta in metas.items():
         mimes.add(meta["mime"])
         assert feats[mid]["width"] == meta["width"]
         assert feats[mid]["height"] == meta["height"]
         assert sum(feats[mid]["luma_hist"]) == pytest.approx(1.0)
-    assert mimes == {"image/bmp", "image/x-portable-pixmap", "image/x-portable-graymap"}
+    assert mimes == {
+        "image/bmp",
+        "image/x-portable-pixmap",
+        "image/x-portable-graymap",
+        "image/png",
+    }
 
 
 def test_real_decode_image_feature_vector():
