@@ -1890,7 +1890,7 @@ def sim_lsh_topk(spark, sf_dir):
 # ER pipeline + multimodal (non-SQL-expressible; rows-only driver checks)
 # ---------------------------------------------------------------------------
 
-@q("er_flagship_clusters", None)
+@q("er_flagship_clusters", CONST_ORACLES.get("er_flagship_clusters"))
 def er_flagship_clusters(spark, sf_dir):
     """Flagship: full block→score→cluster ER run over a deterministic
     synthetic transcript corpus; returns (conv_id, cluster_id, cluster_size).
@@ -1900,7 +1900,7 @@ def er_flagship_clusters(spark, sf_dir):
     return assignments.join(sizes, "cluster_id").select("conv_id", "cluster_id", "cluster_size")
 
 
-@q("er_f1_metrics", None)
+@q("er_f1_metrics", CONST_ORACLES.get("er_f1_metrics"))
 def er_f1_metrics(spark, sf_dir):
     """The BASELINE.json gate as a queryable row: pairwise P/R/F1 of the
     flagship ER run against the planted labels (expect F1 = 1.0)."""
@@ -2053,14 +2053,14 @@ def er_incremental_clusters(spark, sf_dir):
     return _finalize(out, phase1.caches + res.caches)
 
 
-@q("multimodal_features", None)
+@q("multimodal_features", CONST_ORACLES.get("multimodal_features"))
 def multimodal_features(spark, sf_dir):
     """Binary-payload feature extraction plumbing (stubbed decoder)."""
     media = multimodal.synth_media(spark, n=64, seed=42)
     return multimodal.extract_features(media).select("media_id", "kind", "n_bytes")
 
 
-@q("multimodal_audio_features", None)
+@q("multimodal_audio_features", CONST_ORACLES.get("multimodal_audio_features"))
 def multimodal_audio_features(spark, sf_dir):
     """REAL audio decode path: WAV container → PCM samples → duration /
     RMS / zero-crossing / FFT band energies (stdlib wave + numpy, no
@@ -2077,7 +2077,7 @@ def multimodal_audio_features(spark, sf_dir):
     )
 
 
-@q("multimodal_frame_plan", None)
+@q("multimodal_frame_plan", CONST_ORACLES.get("multimodal_frame_plan"))
 def multimodal_frame_plan(spark, sf_dir):
     """Video frame-sampling fan-out plan (pure metadata column math)."""
     media = multimodal.synth_media(spark, n=64, seed=42)
@@ -2206,7 +2206,7 @@ _DRIVER_ORDER = [
     # -- new in round 3 ------------------------------------------------------
     "s13_blocking_index_sink",
     "multimodal_image_features",
-    # -- rows-only entries, zero driver rows across r1-r2 --------------------
+    # -- pinned-oracle since r3 (were rows-only), zero driver rows r1-r2 -----
     "multimodal_features",
     "multimodal_audio_features",
     "multimodal_frame_plan",
