@@ -10,17 +10,20 @@ Codec status, stated honestly per modality:
   headers and PCM frames with stdlib ``wave`` + numpy (no external codec
   needed), and :func:`audio_features` extracts duration / RMS /
   zero-crossing-rate / band energies from the actual samples.
-* **image (BMP / PPM / PGM / PNG)** — REAL decode: :func:`decode_image`
-  parses uncompressed BMP (24/32-bit BI_RGB), binary netpbm (P6/P5), and
-  PNG (8-bit, non-interlaced — the DEFLATE stream is stdlib ``zlib``, all
-  five scanline filters implemented in :func:`_png_unfilter_row`) with
-  numpy — no external codec library — and :func:`image_features` extracts
-  per-channel mean/std + a grayscale histogram from the actual pixels.
-* **image (JPEG) / video (H.264)** — DCT/entropy codecs are NOT available
-  in this environment, so those stay stubbed behind ``decoder=``: the
+* **image (BMP / PPM / PGM / PNG / JPEG)** — REAL decode:
+  :func:`decode_image` parses uncompressed BMP (24/32-bit BI_RGB), binary
+  netpbm (P6/P5), PNG (8-bit, non-interlaced — the DEFLATE stream is
+  stdlib ``zlib``, all five scanline filters implemented in
+  :func:`_png_unfilter_row`), and baseline-sequential JPEG
+  (:func:`decode_jpeg` — Huffman entropy decode + dequant + vectorized
+  IDCT + chroma upsample, pure numpy) — no external codec library — and
+  :func:`image_features` extracts per-channel mean/std + a grayscale
+  histogram from the actual pixels.
+* **video (H.264 etc.)** — inter-frame video codecs are NOT available in
+  this environment, so video stays stubbed behind ``decoder=``: the
   default deterministic fake keeps the Spark-side plumbing (schema,
   batching, partitioning, UDF signatures) fully real and testable, and a
-  real decoder (PIL/ffmpeg) drops in without touching the plan.
+  real decoder (ffmpeg) drops in without touching the plan.
 """
 
 from __future__ import annotations
@@ -83,8 +86,8 @@ def fake_decode(payload: bytes, kind: str, dim: int = 64) -> np.ndarray:
 
 def real_decode(payload: bytes, kind: str, dim: int = 64) -> np.ndarray:
     """Real decoder entry point. Audio (WAV) decodes for real via
-    :func:`decode_wav`; images (BMP/PPM/PGM/PNG) via :func:`decode_image`.
-    JPEG and video codecs are absent in this environment."""
+    :func:`decode_wav`; images (BMP/PPM/PGM/PNG/JPEG) via
+    :func:`decode_image`. Video codecs are absent in this environment."""
     if kind == "audio":
         samples, _sr = decode_wav(payload)
         # pool to a fixed-dim feature: dim equal-width mean-abs segments
@@ -106,7 +109,7 @@ def real_decode(payload: bytes, kind: str, dim: int = 64) -> np.ndarray:
         n = float(np.linalg.norm(v))
         return v / n if n > 0 else v
     raise NotImplementedError(
-        "JPEG and video codecs are not installed in this environment; pass "
+        "video codecs are not installed in this environment; pass "
         "decoder=fake_decode (default) or provide your own"
     )
 
@@ -150,8 +153,10 @@ def decode_image(payload: bytes) -> np.ndarray:
       is replicated to 3 channels.
     * **PNG**: 8-bit non-interlaced via :func:`decode_png` — the DEFLATE
       stream is stdlib ``zlib``, so PNG needs no external codec either.
+    * **JPEG**: baseline sequential DCT via :func:`decode_jpeg` — pure
+      numpy Huffman + IDCT, no codec library.
 
-    Raises ``ValueError`` on other containers (JPEG needs a DCT codec).
+    Raises ``ValueError`` on other containers.
     """
     if not payload:
         return np.zeros((0, 0, 3), dtype=np.uint8)
@@ -162,9 +167,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_pnm(buf)
     if buf[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(buf)
+    if buf[:2] == b"\xff\xd8":
+        return decode_jpeg(buf)
     raise ValueError(
         f"unsupported image container (magic {buf[:2]!r}): BMP, binary "
-        "PPM/PGM, and PNG decode without a codec library; JPEG does not"
+        "PPM/PGM, PNG, and baseline JPEG decode without a codec library"
     )
 
 
@@ -410,6 +417,422 @@ def _png_unfilter_row(ft: int, row: np.ndarray, prev: np.ndarray, ch: int) -> np
     raise ValueError(f"bad PNG filter byte {ft}")
 
 
+# ---------------------------------------------------------------------------
+# JPEG — baseline sequential DCT, pure numpy + stdlib (no codec library).
+# The same discipline as the PNG path: the container and entropy coding are
+# bit-exact spec implementations; the only "library" used is numpy for the
+# block DCT math. Scope: baseline (SOF0), 8-bit, Huffman, 1- or 3-component,
+# sampling factors up to 2 (4:4:4 / 4:2:2 / 4:2:0), restart intervals.
+# Rejected with ValueError: progressive (SOF2), arithmetic coding, 12-bit.
+# ---------------------------------------------------------------------------
+
+_ZIGZAG: list[tuple[int, int]] = []
+for _d in range(15):
+    for _r in range(_d, -1, -1) if _d % 2 == 0 else range(0, _d + 1):
+        _c = _d - _r
+        if _r < 8 and _c < 8:
+            _ZIGZAG.append((_r, _c))
+_ZZ_ROWS = np.array([p[0] for p in _ZIGZAG])
+_ZZ_COLS = np.array([p[1] for p in _ZIGZAG])
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II basis: FDCT is C @ f @ C.T, IDCT is
+    C.T @ F @ C (JPEG spec A.3.3 normalization)."""
+    x = np.arange(8)
+    C = 0.5 * np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    C[0, :] = 0.5 / np.sqrt(2.0)
+    return C
+
+
+_DCT_C = _dct_matrix()
+
+
+def _build_huffman_decode(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical JPEG Huffman table (DHT BITS/HUFFVAL) → {(len, code): symbol}."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _build_huffman_encode(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Same canonical assignment, symbol → (code, length) for the encoder."""
+    return {sym: (code, length) for (length, code), sym in _build_huffman_decode(bits, vals).items()}
+
+
+# Encoder-side tables: ALL symbols at one code length (12 DC symbols at 4
+# bits, 162 AC symbols at 8 bits) — a valid canonical prefix code that needs
+# no frequency pass; the decoder reads whatever tables the DHT segment
+# declares, so interop does not depend on this choice (it costs compression
+# ratio, which synthetic test payloads don't care about).
+_ENC_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_DC_VALS = list(range(12))
+_ENC_AC_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_ENC_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_ENC_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (spec F.1.2.3)
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)  # pad with 1s to byte boundary
+
+
+def _encode_block(
+    bw: _BitWriter,
+    zz: np.ndarray,
+    pred: int,
+    dc_tab: dict[int, tuple[int, int]],
+    ac_tab: dict[int, tuple[int, int]],
+) -> int:
+    """Huffman-encode one zigzagged quantized block; returns its DC value."""
+    diff = int(zz[0]) - pred
+    size = int(abs(diff)).bit_length()
+    code, length = dc_tab[size]
+    bw.write(code, length)
+    if size:
+        bw.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    run = 0
+    last_nz = max(np.nonzero(zz[1:])[0], default=-1)
+    for k in range(1, 2 + last_nz):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, l = ac_tab[0xF0]  # ZRL
+            bw.write(c, l)
+            run -= 16
+        size = abs(v).bit_length()
+        c, l = ac_tab[(run << 4) | size]
+        bw.write(c, l)
+        bw.write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 62:
+        c, l = ac_tab[0x00]  # EOB
+        bw.write(c, l)
+    return int(zz[0])
+
+
+def _plane_to_zigzag(plane: np.ndarray, qtable: np.ndarray) -> np.ndarray:
+    """(H, W) float plane (level-shifted) → (bh, bw, 64) quantized zigzag."""
+    h, w = plane.shape
+    blocks = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ux,ijxy,vy->ijuv", _DCT_C, blocks, _DCT_C)
+    q = np.round(coef / qtable[None, None]).astype(np.int32)
+    return q[:, :, _ZZ_ROWS, _ZZ_COLS]
+
+
+def _pad_edge(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(plane, ((0, (-h) % mh), (0, (-w) % mw)), mode="edge")
+
+
+def jpeg_bytes(
+    px: np.ndarray,
+    quant: int | np.ndarray = 2,
+    subsample: tuple[int, int] = (1, 1),
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a REAL baseline JPEG.
+
+    ``quant`` is a scalar (uniform quantization table — quant=1 keeps pixels
+    within DCT rounding error, handy for known-pixel tests) or a full 8×8
+    table, used for both luma and chroma. ``subsample=(2, 2)`` emits 4:2:0
+    (box-averaged chroma, 2×2-Y MCUs); ``restart_interval`` > 0 emits DRI +
+    RSTn markers so the decoder's restart path is testable."""
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape[:2]
+    sh, sv = subsample
+    assert (sh, sv) in ((1, 1), (2, 1), (2, 2)), "supported: 4:4:4, 4:2:2, 4:2:0"
+    qtable = (np.full((8, 8), int(quant)) if np.isscalar(quant) else np.asarray(quant)).astype(
+        np.uint16
+    )
+
+    r, g, b = [px[:, :, i].astype(np.float64) for i in range(3)]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    y = _pad_edge(y, 8 * sv, 8 * sh)
+    if (sh, sv) != (1, 1):
+        cbp = _pad_edge(cb, 8 * sv, 8 * sh)
+        crp = _pad_edge(cr, 8 * sv, 8 * sh)
+        # box-average chroma down by the sampling factors
+        cb = cbp.reshape(cbp.shape[0] // sv, sv, cbp.shape[1] // sh, sh).mean(axis=(1, 3))
+        cr = crp.reshape(crp.shape[0] // sv, sv, crp.shape[1] // sh, sh).mean(axis=(1, 3))
+    else:
+        cb, cr = _pad_edge(cb, 8, 8), _pad_edge(cr, 8, 8)
+
+    zz = [
+        _plane_to_zigzag(y - 128.0, qtable),
+        _plane_to_zigzag(cb - 128.0, qtable),
+        _plane_to_zigzag(cr - 128.0, qtable),
+    ]
+    dc_tab = _build_huffman_encode(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_tab = _build_huffman_encode(_ENC_AC_BITS, _ENC_AC_VALS)
+
+    mcus_x = y.shape[1] // (8 * sh)
+    mcus_y = y.shape[0] // (8 * sv)
+    comp_blocks = [(sh, sv), (1, 1), (1, 1)]
+    out = bytearray()
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    n_mcu, rst = 0, 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bw.flush()
+                out += bw.out + bytes([0xFF, 0xD0 + rst % 8])
+                bw, preds, rst = _BitWriter(), [0, 0, 0], rst + 1
+            for ci, (ch_, cv) in enumerate(comp_blocks):
+                for by in range(cv):
+                    for bx in range(ch_):
+                        blk = zz[ci][my * cv + by, mx * ch_ + bx]
+                        preds[ci] = _encode_block(bw, blk, preds[ci], dc_tab, ac_tab)
+            n_mcu += 1
+    bw.flush()
+    out += bw.out
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    zz_q = qtable[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8).tobytes()
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+    for ci, (ch_, cv) in enumerate(comp_blocks):
+        sof += bytes([ci + 1, (ch_ << 4) | cv, 0])  # all components share qtable 0
+    dht = bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS)
+    dht += bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS)
+    sos = bytes([3])
+    for ci in range(3):
+        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])
+    jpg = bytes([0xFF, 0xD8]) + seg(0xDB, bytes([0x00]) + zz_q) + seg(0xC0, sof) + seg(0xC4, dht)
+    if restart_interval:
+        jpg += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    jpg += seg(0xDA, sos) + bytes(out) + bytes([0xFF, 0xD9])
+    return jpg
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            return 0  # spec: pad past end with zero bits (F.2.2.5 leaves
+            # trailing-bit handling to the decoder; EOB logic never overreads
+            # a valid stream, so this only triggers on the final pad bits)
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _receive_extend(br: _BitReader, size: int) -> int:
+    if size == 0:
+        return 0
+    v = br.read_bits(size)
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """REAL JPEG decode: baseline sequential DCT → (H, W, 3) uint8.
+
+    Pure numpy + stdlib, same discipline as :func:`decode_png`: segment
+    parse → per-MCU Huffman decode (the sequential part, per spec F.2) →
+    vectorized dequant + IDCT over all blocks at once (einsum with the
+    orthonormal DCT basis) → chroma upsample → YCbCr→RGB. Supports 8-bit
+    baseline (SOF0), 1- or 3-component scans, sampling factors up to 2,
+    and restart intervals; rejects progressive/arithmetic/12-bit with
+    ``ValueError``."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
+    comps: list[dict] = []
+    h = w = None
+    restart_interval = 0
+    scan_comps: list[dict] = []
+    scan_start = None
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError(f"bad JPEG segment marker at {pos}")
+        marker = buf[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        length = int.from_bytes(buf[pos + 2 : pos + 4], "big")
+        body = buf[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xDB:  # DQT (may hold several tables)
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0xF
+                if prec != 0:
+                    raise ValueError("16-bit quantization tables not supported")
+                tq = np.zeros((8, 8), dtype=np.uint16)
+                tq[_ZZ_ROWS, _ZZ_COLS] = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8)
+                qtables[tid] = tq
+                i += 65
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"non-baseline JPEG (SOF{marker - 0xC0}) not supported")
+        elif marker == 0xC0:  # SOF0
+            if body[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            for ci in range(body[5]):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                htables[(tc, th)] = _build_huffman_decode(bits, vals)
+                i += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            for si in range(ns):
+                cid, tabs = body[1 + 2 * si], body[2 + 2 * si]
+                comp = next(c for c in comps if c["id"] == cid)
+                scan_comps.append({**comp, "dc": tabs >> 4, "ac": tabs & 0xF})
+            scan_start = pos
+            break
+        # APPn / COM / others: skipped via the length field
+    if h is None or scan_start is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+
+    # entropy-coded data: unstuff 0xFF00, split at restart markers
+    segments: list[bytes] = []
+    cur = bytearray()
+    p = scan_start
+    while p < len(buf):
+        byte = buf[p]
+        if byte == 0xFF and p + 1 < len(buf):
+            m = buf[p + 1]
+            if m == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= m <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            break  # EOI or next marker
+        cur.append(byte)
+        p += 1
+    segments.append(bytes(cur))
+
+    hmax = max(c["h"] for c in scan_comps)
+    vmax = max(c["v"] for c in scan_comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = {}  # component id -> (bh, bw, 8, 8) quantized-coefficient grid
+    for c in scan_comps:
+        planes[c["id"]] = np.zeros((mcus_y * c["v"], mcus_x * c["h"], 8, 8), dtype=np.int32)
+
+    n_mcu = 0
+    seg_iter = iter(segments)
+    br = _BitReader(next(seg_iter))
+    preds = {c["id"]: 0 for c in scan_comps}
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                br = _BitReader(next(seg_iter))
+                preds = {c["id"]: 0 for c in scan_comps}
+            for c in scan_comps:
+                dc_t, ac_t = htables[(0, c["dc"])], htables[(1, c["ac"])]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int32)
+                        size = br.decode_symbol(dc_t)
+                        preds[c["id"]] += _receive_extend(br, size)
+                        zz[0] = preds[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = br.decode_symbol(ac_t)
+                            run, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC coefficient index overrun")
+                            zz[k] = _receive_extend(br, size)
+                            k += 1
+                        blk = planes[c["id"]][my * c["v"] + by, mx * c["h"] + bx]
+                        blk[_ZZ_ROWS, _ZZ_COLS] = zz
+            n_mcu += 1
+
+    # vectorized dequant + IDCT per component, then upsample to full res
+    out_planes = []
+    for c in scan_comps:
+        coef = planes[c["id"]].astype(np.float64) * qtables[c["tq"]][None, None]
+        # blockwise IDCT: f = C.T @ F @ C → f[x,y] = Σ_u Σ_v C[u,x] F[u,v] C[v,y]
+        pix = np.einsum("ux,ijuv,vy->ijxy", _DCT_C, coef, _DCT_C)
+        bh, bw_ = pix.shape[:2]
+        plane = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8) + 128.0
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out_planes.append(plane[:h, :w])
+    if len(out_planes) == 1:
+        gray = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(gray[:, :, None], 3, axis=2)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
 _IMAGE_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -423,7 +846,7 @@ _IMAGE_FEATURE_SCHEMA = T.StructType(
 
 
 def image_features(media: DataFrame, n_bins: int = 8) -> DataFrame:
-    """Real image feature extraction over BMP/PPM/PGM payloads
+    """Real image feature extraction over BMP/PPM/PGM/PNG payloads
     (``kind='image'``).
 
     Per image: dimensions, per-channel mean/std in [0, 1], and an
@@ -572,9 +995,11 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
 
     Audio rows carry VALID WAV payloads (sine tones at deterministic
     frequencies — the real :func:`decode_wav` path consumes them); image
-    rows carry VALID BMP / PPM / PGM / PNG containers (deterministic
-    gradient + noise patterns, PNG rows sweeping all five scanline filters
-    — the real :func:`decode_image` path consumes them); video rows carry
+    rows carry VALID BMP / PPM / PGM / PNG / JPEG containers (deterministic
+    gradient + noise patterns; PNG rows sweep scanline filters and JPEG
+    rows sweep 4:4:4 / 4:2:0 sampling and a restart interval — the real
+    :func:`decode_image` path consumes them all; every PNG filter and JPEG
+    mode additionally has a direct known-pixel unit test); video rows carry
     opaque bytes for the stubbed codec.
     """
     rng = np.random.RandomState(seed)
@@ -599,16 +1024,25 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             chan = np.array([0.0, 20.0, 40.0])[None, None, :]
             noise = rng.randint(0, 16, size=(height, width, 3)).astype(np.float64)
             px = np.clip(base + chan + noise, 0, 255).astype(np.uint8)
-            container = (i // 3) % 4  # rotate BMP → PPM → PGM → PNG across image rows
+            container = (i // 3) % 5  # rotate BMP → PPM → PGM → PNG → JPEG
             if container == 0:
                 payload, mime = bmp_bytes(px), "image/bmp"
             elif container == 1:
                 payload, mime = ppm_bytes(px), "image/x-portable-pixmap"
             elif container == 2:
                 payload, mime = pgm_bytes(px.mean(axis=2).astype(np.uint8)), "image/x-portable-graymap"
-            else:
+            elif container == 3:
                 # PNG rows sweep the filter space so every unfilter path runs
-                payload, mime = png_bytes(px, filter_type=(i // 12) % 5), "image/png"
+                payload, mime = png_bytes(px, filter_type=(i // 15) % 5), "image/png"
+            else:
+                # JPEG rows sweep sampling + restart so every decode path runs
+                payload = jpeg_bytes(
+                    px,
+                    quant=2,
+                    subsample=(2, 2) if (i // 15) % 2 else (1, 1),
+                    restart_interval=3 if (i // 15) % 3 == 2 else 0,
+                )
+                mime = "image/jpeg"
         else:
             dur_ms = int(rng.randint(500, 10_000))
             payload = rng.bytes(int(rng.randint(64, 2048)))

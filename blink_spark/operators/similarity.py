@@ -158,6 +158,138 @@ def lsh_topk_neighbors(
     )
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_lists: int = 64,
+    seed: int = 42,
+    sample_size: int = 4096,
+    n_iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train an IVF coarse quantizer: k-means centroids from a deterministic
+    hash sample of the corpus.
+
+    The FAISS-analog split (``blink/indexer/faiss_indexer.py:105-141`` trains
+    ``IndexIVFFlat`` on a sample, then adds the full corpus): the quantizer
+    is a MODEL, not data — ``sample_size`` vectors are collected to the
+    driver (bounded, e.g. 4096 × dim doubles ≈ a few MB at any corpus
+    scale), centroids are fit with seeded Lloyd iterations in numpy, and the
+    resulting (n_lists, dim) array is broadcast into the assignment UDF.
+    The sample is a deterministic hash filter, not ``limit()`` — stable
+    across partitionings and re-runs.
+
+    Vectors are L2-normalized before clustering so the quantizer partitions
+    by direction (we search by cosine); centroids are re-normalized per
+    iteration (spherical k-means).
+    """
+    total = embeddings.count()
+    frac_mod = max(1, total // max(sample_size, 1))
+    sample = (
+        embeddings.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(frac_mod)) == 0)
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
+        .orderBy("_id")
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r["_v"] for r in sample], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n_lists = min(n_lists, len(X))
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=n_lists, replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(X @ C.T, axis=1)  # cosine == dot on unit vectors
+        for j in range(n_lists):
+            m = assign == j
+            if m.any():
+                c = X[m].mean(axis=0)
+                C[j] = c / max(float(np.linalg.norm(c)), 1e-12)
+    return C
+
+
+def _ivf_assign(df: DataFrame, C: np.ndarray, nprobe: int, id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec) → (id, array of nprobe nearest-centroid list ids) via one
+    vectorized Arrow pass; ``nprobe=1`` is the corpus-side assignment."""
+    schema = T.StructType(
+        [T.StructField("vec_id", T.LongType()), T.StructField("lists", T.ArrayType(T.IntegerType()))]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vec_id": pd.Series([], dtype="int64"), "lists": []})
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            sims = V @ C.T  # (N, n_lists)
+            n = min(nprobe, sims.shape[1])
+            top = np.argpartition(-sims, n - 1, axis=1)[:, :n]
+            # order the probes best-first (argpartition is unordered)
+            row = np.arange(len(V))[:, None]
+            top = top[row, np.argsort(-sims[row, top], axis=1)]
+            yield pd.DataFrame({"vec_id": pdf[id_col], "lists": top.astype(np.int32).tolist()})
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema=schema)
+
+
+def ivf_topk_neighbors(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_lists: int = 64,
+    nprobe: int = 4,
+    seed: int = 42,
+    sample_size: int = 4096,
+    max_list: int = 20000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    caches: list | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF: coarse-quantizer buckets then exact
+    re-scoring inside the ``nprobe`` probed lists — the second scale path
+    next to :func:`lsh_topk_neighbors` (the two trade differently: IVF
+    adapts to the data distribution, LSH needs no training pass).
+
+    Plan shape at 100 TB: one driver-side model fit on a bounded sample →
+    one Arrow map pass per side (corpus assignment ``nprobe=1``, query
+    probes ``nprobe=n``) → equi-join on list id → windowed top-k. No cross
+    join anywhere; ``max_list`` caps degenerate lists the same way
+    ``max_bucket`` caps hot LSH buckets.
+    """
+    C = train_ivf_centroids(
+        embeddings, n_lists=n_lists, seed=seed, sample_size=sample_size, id_col=id_col, vec_col=vec_col
+    )
+    corpus_assign = (
+        _ivf_assign(embeddings, C, 1, id_col, vec_col)
+        .select(F.col("vec_id").alias("nbr_id"), F.element_at("lists", 1).alias("list_id"))
+        .persist()
+    )
+    if caches is not None:
+        caches.append(corpus_assign)
+    sizes = corpus_assign.groupBy("list_id").agg(F.count(F.lit(1)).alias("n"))
+    kept = corpus_assign.join(
+        F.broadcast(sizes.where(F.col("n") > max_list)), "list_id", "left_anti"
+    )
+    probes = _ivf_assign(embeddings, C, nprobe, id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"), F.explode("lists").alias("list_id")
+    )
+    vecs = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
+    scored = (
+        probes.join(kept, "list_id")
+        .where(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id")
+        .dropDuplicates()
+        .join(vecs.withColumnsRenamed({"vid": "query_id", "v": "vq"}), "query_id")
+        .join(vecs.withColumnsRenamed({"vid": "nbr_id", "v": "vn"}), "nbr_id")
+        .select("query_id", "nbr_id", _cosine_cols(F.col("vq"), F.col("vn")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
 def ann_recall_vs_exact(embeddings: DataFrame, k: int = 5, **lsh_kw) -> float:
     """Recall@k of the LSH path against the brute-force oracle (eval helper)."""
     exact = brute_force_topk(embeddings, k=k).select("query_id", "nbr_id")

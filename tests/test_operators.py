@@ -121,6 +121,50 @@ def test_lsh_finds_planted_high_cosine_neighbors(spark, embeddings):
     assert hits >= 29, f"only {hits}/30 planted neighbors found"
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark, embeddings):
+    """IVF recall@3 vs the exact oracle: near-random vectors again, so probe
+    wide (8 lists, nprobe 4 → half the corpus scanned per query)."""
+    exact = similarity.brute_force_topk(embeddings, k=3).select("query_id", "nbr_id")
+    approx = similarity.ivf_topk_neighbors(embeddings, k=3, n_lists=8, nprobe=4).select(
+        "query_id", "nbr_id"
+    )
+    n_exact = exact.count()
+    hit = exact.join(approx, ["query_id", "nbr_id"], "left_semi").count()
+    assert hit / n_exact >= 0.8, hit / n_exact
+
+
+def test_ivf_finds_planted_high_cosine_neighbors(spark, embeddings):
+    """A jittered copy points in (almost) the same direction as its source,
+    so the spherical quantizer must put both in the same list: recall ~1 in
+    the near-dup regime even at nprobe=1."""
+    base = embeddings.limit(30)
+    jitter = base.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 0.98 + 0.01).alias("embedding"),
+    )
+    corpus = base.select("vec_id", "embedding").unionByName(jitter.select("vec_id", "embedding"))
+    out = similarity.ivf_topk_neighbors(corpus, k=1, n_lists=4, nprobe=1, seed=3)
+    got = {r["query_id"]: r["nbr_id"] for r in out.collect()}
+    hits = sum(1 for r in range(30) if got.get(r + 10000) == r)
+    assert hits >= 29, f"only {hits}/30 planted neighbors found"
+
+
+def test_ivf_deterministic_across_partitioning(spark, embeddings):
+    """Centroid training samples via a hash filter (not limit), so the same
+    seed must give identical output under any partitioning — the property
+    that makes the sf0.01 VALUES pin a stable oracle."""
+    a = similarity.ivf_topk_neighbors(embeddings, k=3, n_lists=8, nprobe=2, seed=5)
+    b = similarity.ivf_topk_neighbors(embeddings.repartition(13), k=3, n_lists=8, nprobe=2, seed=5)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ivf_max_list_cap_drops_degenerate_lists(spark, embeddings):
+    """With max_list below any list size every corpus vector is anti-joined
+    away and no pairs survive — the skew guard actually guards."""
+    out = similarity.ivf_topk_neighbors(embeddings, k=3, n_lists=2, nprobe=2, max_list=1)
+    assert out.count() == 0
+
+
 def test_hyperplane_buckets_deterministic(spark, embeddings):
     b1 = {r["vec_id"]: r["buckets"] for r in similarity.hyperplane_buckets(embeddings, seed=1).collect()}
     b2 = {r["vec_id"]: r["buckets"] for r in similarity.hyperplane_buckets(embeddings.repartition(7), seed=1).collect()}
@@ -154,12 +198,12 @@ def test_extract_features_deterministic_and_shaped(spark):
 
 
 def test_real_decoder_is_explicit_stub():
-    # video (and JPEG, the one image container left) stays an explicit stub
+    # video is the one modality left stubbed
     with pytest.raises(NotImplementedError):
         multimodal.real_decode(b"bytes", "video")
-    # JPEG fails loudly, not silently (DCT codec genuinely absent)
-    with pytest.raises(ValueError):
-        multimodal.decode_image(b"\xff\xd8\xff\xe0....")
+    # unknown containers fail loudly, not silently
+    with pytest.raises(ValueError, match="unsupported image container"):
+        multimodal.decode_image(b"XXnotanimage")
 
 
 def test_frame_sample_plan(spark):
@@ -254,8 +298,8 @@ def test_image_features_known_pixels(spark):
 
 
 def test_synth_image_payloads_decode_everywhere(spark):
-    """Every synthetic image row (BMP, PPM, PGM, and PNG containers) decodes
-    and matches its metadata dimensions."""
+    """Every synthetic image row (BMP, PPM, PGM, PNG, and JPEG containers)
+    decodes and matches its metadata dimensions."""
     media = multimodal.synth_media(spark, n=40, seed=5)
     imgs = media.where(F.col("kind") == "image")
     feats = {r["media_id"]: r for r in multimodal.image_features(imgs).collect()}
@@ -272,6 +316,7 @@ def test_synth_image_payloads_decode_everywhere(spark):
         "image/x-portable-pixmap",
         "image/x-portable-graymap",
         "image/png",
+        "image/jpeg",
     }
 
 
@@ -282,6 +327,72 @@ def test_real_decode_image_feature_vector():
     assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
     # constant image → identical tile means → uniform unit vector
     assert np.allclose(v, v[0])
+
+
+# ---- real JPEG decode --------------------------------------------------------
+
+def test_decode_jpeg_constant_color_known_pixels():
+    """A constant-color block has only a DC coefficient; at quant=1 the
+    encode→decode chain (DCT → quantize → Huffman → IDCT → color convert)
+    must reproduce the color to within the two rounding steps (±1)."""
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    px[:, :] = (51, 102, 153)
+    out = multimodal.decode_image(multimodal.jpeg_bytes(px, quant=1))
+    assert out.shape == (8, 8, 3)
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 1
+    # pure gray constant is EXACT: Cb = Cr = 128, Y integral
+    gray = np.full((8, 8, 3), 77, dtype=np.uint8)
+    assert np.array_equal(multimodal.decode_jpeg(multimodal.jpeg_bytes(gray, quant=1)), gray)
+
+
+def test_decode_jpeg_gradient_near_lossless_444():
+    """4:4:4 at quant=1 keeps every pixel within DCT rounding error (±3),
+    including non-multiple-of-8 dimensions (edge-padded blocks)."""
+    rng = np.random.RandomState(11)
+    for shape in [(8, 8), (13, 19), (9, 40)]:
+        col = np.arange(shape[1]) / max(shape[1] - 1, 1)
+        px = (
+            np.tile(col, (shape[0], 1))[:, :, None] * np.array([200.0, 150.0, 100.0])
+            + rng.randint(0, 12, size=(*shape, 3))
+        ).clip(0, 255).astype(np.uint8)
+        out = multimodal.decode_image(multimodal.jpeg_bytes(px, quant=1))
+        assert out.shape == px.shape
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 3, shape
+
+
+def test_decode_jpeg_420_and_restart_markers():
+    """4:2:0 subsampling (2×2-Y MCUs, box-averaged chroma) and restart
+    intervals (DRI + RSTn segments, DC predictors reset per segment) both
+    decode; luma survives subsampling almost exactly on a smooth image."""
+    col = np.arange(24) / 23.0
+    px = (np.tile(col, (16, 1))[:, :, None] * np.array([180.0, 140.0, 90.0])).astype(np.uint8)
+    for rst in (0, 2):
+        out = multimodal.decode_jpeg(multimodal.jpeg_bytes(px, quant=1, subsample=(2, 2), restart_interval=rst))
+        assert out.shape == px.shape
+        # chroma detail is averaged 2×2 but overall error stays small on a
+        # smooth gradient; luma (the weighted mean) is preserved tightly
+        assert np.abs(out.astype(int) - px.astype(int)).mean() < 4.0
+        luma_in = px.astype(float) @ np.array([0.299, 0.587, 0.114])
+        luma_out = out.astype(float) @ np.array([0.299, 0.587, 0.114])
+        assert np.abs(luma_in - luma_out).max() <= 4.0
+    # restart output must equal no-restart output (same coefficients)
+    a = multimodal.decode_jpeg(multimodal.jpeg_bytes(px, quant=2, restart_interval=2))
+    b = multimodal.decode_jpeg(multimodal.jpeg_bytes(px, quant=2))
+    assert np.array_equal(a, b)
+
+
+def test_decode_jpeg_rejections():
+    px = np.full((8, 8, 3), 90, dtype=np.uint8)
+    good = multimodal.jpeg_bytes(px, quant=1)
+    # progressive (SOF2) rejected loudly
+    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="non-baseline"):
+        multimodal.decode_jpeg(progressive)
+    with pytest.raises(ValueError, match="SOI"):
+        multimodal.decode_jpeg(b"notajpeg")
+    # truncated header (no SOF/SOS) rejected loudly
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0....")
 
 
 # ---- P10 context quota window ----------------------------------------------
