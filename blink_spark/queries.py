@@ -42,6 +42,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _fixture_path(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Per-run scratch path for sink round-trip entries. Keyed by the Spark
+    applicationId so two concurrent sessions at the same sf never share a
+    sink path (one reading while the other overwrites gave flaky results
+    with the old sf-only key)."""
+    import os as _os
+
+    app = spark.sparkContext.applicationId
+    return f"/tmp/blink_fixtures/{app}/{_os.path.basename(sf_dir.rstrip('/'))}_{name}"
+
+
 def _finalize(df: DataFrame, caches: list) -> DataFrame:
     """Materialize a small result via ``localCheckpoint`` and release the
     stage caches it depended on.
@@ -1645,10 +1656,8 @@ def s14_jsonl_writer_roundtrip(spark, sf_dir):
     table is written as JSONL, read back with an explicit schema, and
     aggregated — the oracle computes the same aggregate from the source
     view, so any writer/reader corruption breaks the match."""
-    import os as _os
-
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    path = f"/tmp/blink_fixtures/{_os.path.basename(sf_dir.rstrip('/'))}_s14_roundtrip.jsonl"
+    path = _fixture_path(spark, sf_dir, "s14_roundtrip.jsonl")
     d.write.mode("overwrite").json(path)
     back = spark.read.schema("doc_id long, lang string, n_chars long").json(path)
     return back.groupBy("lang").agg(
@@ -1667,10 +1676,8 @@ def s15_chunked_sink_merge(spark, sf_dir):
     in Spark the chunks are partition directories and the merge is reading
     the table — written ``partitionBy(lang)``, read back as the union of
     chunks, aggregated against the source-view oracle."""
-    import os as _os
-
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
-    path = f"/tmp/blink_fixtures/{_os.path.basename(sf_dir.rstrip('/'))}_s15_chunks.parquet"
+    path = _fixture_path(spark, sf_dir, "s15_chunks.parquet")
     d.write.partitionBy("lang").mode("overwrite").parquet(path)
     back = spark.read.parquet(path)
     return back.groupBy("source").agg(
@@ -1729,10 +1736,14 @@ def dedup_embedding_neardup(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
-@q("dedup_simhash_pairs", None)  # kernel is numpy; verified in tests vs hamming oracle
+@q("dedup_simhash_pairs", CONST_ORACLES.get("dedup_simhash_pairs"))
 def dedup_simhash_pairs(spark, sf_dir):
-    """SimHash banded near-dup pairs (rows-only driver check; exact Hamming
-    verified JVM-side via bit_count, kernel tested in tests/test_hashing.py)."""
+    """SimHash banded near-dup pairs. Upgraded r4 from rows-only to
+    value-checked: the output is integer-only (doc ids + Hamming distance)
+    and deterministic, so the sf0.01 result is pinned as a VALUES regression
+    oracle (valid ONLY at sf0.01 — the sf the driver checks; tests run this
+    entry there too). Exact Hamming verified JVM-side via bit_count; kernel
+    tested in tests/test_hashing.py."""
     caches: list = []
     out = dedup.simhash_dedup_pairs(_t(spark, sf_dir, "documents"), max_hamming=10, caches=caches)
     return _finalize(out, caches)
@@ -1873,16 +1884,21 @@ def sim_bruteforce_topk(spark, sf_dir):
     return out.select("query_id", "nbr_id", F.round("cosine", 4).alias("cosine"), "rank")
 
 
-@q("sim_lsh_topk", None)  # seeded-numpy hyperplanes; recall vs brute force in tests
+@q("sim_lsh_topk", CONST_ORACLES.get("sim_lsh_topk"))
 def sim_lsh_topk(spark, sf_dir):
-    """Approximate LSH-bucketed top-k (rows-only driver check; recall vs the
-    brute-force oracle asserted in tests/test_operators.py)."""
+    """Approximate LSH-bucketed top-k. Upgraded r4 from rows-only to
+    value-checked: seeded hyperplanes + nbr_id tie-break make the output
+    deterministic, so the sf0.01 result (the scale the driver checks) is
+    pinned as a VALUES regression oracle — generated from the sf0.01 corpus
+    by scripts/gen_const_oracles.py, valid ONLY at that sf (tests run this
+    entry at sf0.01 for the same reason). Independent correctness stays in
+    tests/test_operators.py (recall ≥ 0.8 vs the brute-force oracle)."""
     caches: list = []
     out = similarity.lsh_topk_neighbors(
         _t(spark, sf_dir, "embeddings"), k=3, n_tables=8, n_planes=10, caches=caches
     )
     return _finalize(
-        out.select("query_id", "nbr_id", F.round("cosine", 4).alias("cosine"), "rank"), caches
+        out.select("query_id", "nbr_id", F.round("cosine", 3).alias("cosine"), "rank"), caches
     )
 
 
@@ -2072,8 +2088,13 @@ def multimodal_audio_features(spark, sf_dir):
         "media_id",
         "sample_rate",
         F.round("duration_ms", 1).alias("duration_ms"),
-        F.round("rms", 4).alias("rms"),
-        F.round("zero_crossing_rate", 4).alias("zcr"),
+        # floats pinned at 3 dp (not 4): the pins are regression oracles
+        # embedding numpy/Spark float output, and a value near a rounding
+        # boundary can flip the last decimal under a different
+        # numpy/BLAS/Spark build — one fewer digit keeps the pin stable
+        # across library upgrades (ADVICE r3)
+        F.round("rms", 3).alias("rms"),
+        F.round("zero_crossing_rate", 3).alias("zcr"),
     )
 
 
@@ -2086,36 +2107,33 @@ def multimodal_frame_plan(spark, sf_dir):
 
 @q("multimodal_image_features", CONST_ORACLES.get("multimodal_image_features"))
 def multimodal_image_features(spark, sf_dir):
-    """REAL image decode path: BMP/PPM/PGM container → pixels → per-channel
+    """REAL image decode path: BMP/PPM/PGM/PNG container → pixels → per-channel
     mean/std + grayscale histogram (pure numpy, no codec — the image analog
     of the stdlib-wave audio path). Known-pixel correctness (constant color,
     exact gradient) is asserted in tests/test_operators.py; the deterministic
     synth corpus output is pinned as a constant VALUES oracle."""
     media = multimodal.synth_media(spark, n=64, seed=42)
     out = multimodal.image_features(media)
-    f4 = lambda c: F.round(c, 4)
+    # 3 dp, not 4: regression-pin stability across library builds (ADVICE r3)
+    f3 = lambda c: F.round(c, 3)
     return out.select(
         "media_id",
         "width",
         "height",
-        f4(F.element_at("mean_rgb", 1)).alias("mean_r"),
-        f4(F.element_at("mean_rgb", 2)).alias("mean_g"),
-        f4(F.element_at("mean_rgb", 3)).alias("mean_b"),
-        f4(F.element_at("std_rgb", 1)).alias("std_r"),
+        f3(F.element_at("mean_rgb", 1)).alias("mean_r"),
+        f3(F.element_at("mean_rgb", 2)).alias("mean_g"),
+        f3(F.element_at("mean_rgb", 3)).alias("mean_b"),
+        f3(F.element_at("std_rgb", 1)).alias("std_r"),
         F.array_join(
-            F.transform("luma_hist", lambda x: F.round(x, 4).cast("string")), ","
+            F.transform("luma_hist", lambda x: F.round(x, 3).cast("string")), ","
         ).alias("hist"),
     )
 
 
-@q("sim_lsh_planted_topk", CONST_ORACLES.get("sim_lsh_planted_topk"))
-def sim_lsh_planted_topk(spark, sf_dir):
-    """J3 upgraded to value-checked: LSH top-k over a PLANTED deterministic
-    corpus (60 seeded base vectors × 3 jittered variants) whose expected
-    output is pinned as a constant VALUES oracle — the seeded hyperplanes
-    make the run bit-deterministic (asserted in tests). Recall vs the exact
-    brute force stays separately asserted in tests/test_operators.py; the
-    sf-scaled rows-only leg remains `sim_lsh_topk`."""
+def _planted_embedding_corpus(spark):
+    """Deterministic ANN test corpus: 60 seeded base directions × 3 jittered
+    variants, unit-normalized — each variant's true top-2 neighbors are its
+    siblings. Shared by the planted LSH and IVF entries."""
     import numpy as np
 
     rng = np.random.RandomState(7)
@@ -2126,13 +2144,56 @@ def sim_lsh_planted_topk(spark, sf_dir):
             vec = base[i] + 0.05 * rng.standard_normal(16)
             vec = vec / np.linalg.norm(vec)
             rows.append((i * 3 + v, [float(x) for x in vec]))
-    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+@q("sim_lsh_planted_topk", CONST_ORACLES.get("sim_lsh_planted_topk"))
+def sim_lsh_planted_topk(spark, sf_dir):
+    """J3 upgraded to value-checked: LSH top-k over a PLANTED deterministic
+    corpus whose expected output is pinned as a constant VALUES oracle — the
+    seeded hyperplanes make the run bit-deterministic (asserted in tests).
+    Recall vs the exact brute force stays separately asserted in
+    tests/test_operators.py; the sf-scaled leg is `sim_lsh_topk`."""
+    emb = _planted_embedding_corpus(spark)
     caches: list = []
     out = similarity.lsh_topk_neighbors(
         emb, k=3, n_planes=8, n_tables=6, seed=11, caches=caches
     )
     return _finalize(
-        out.select("query_id", "nbr_id", F.round("cosine", 4).alias("cosine"), "rank"), caches
+        out.select("query_id", "nbr_id", F.round("cosine", 3).alias("cosine"), "rank"), caches
+    )
+
+
+@q("sim_ivf_planted_topk", CONST_ORACLES.get("sim_ivf_planted_topk"))
+def sim_ivf_planted_topk(spark, sf_dir):
+    """NEW r4 — the IVF scale path next to LSH (FAISS ``IndexIVFFlat``
+    analog, `blink/indexer/faiss_indexer.py:105-141`): spherical-k-means
+    coarse quantizer trained on a deterministic hash sample, corpus assigned
+    to its nearest list, queries probe their ``nprobe`` best lists, exact
+    cosine re-scoring inside probed lists only. Deterministic end to end
+    (seeded init, fixed Lloyd iterations, nbr_id tie-breaks) → pinned VALUES
+    oracle; recall vs brute force asserted in tests/test_operators.py."""
+    emb = _planted_embedding_corpus(spark)
+    caches: list = []
+    out = similarity.ivf_topk_neighbors(
+        emb, k=3, n_lists=8, nprobe=3, seed=13, sample_size=256, caches=caches
+    )
+    return _finalize(
+        out.select("query_id", "nbr_id", F.round("cosine", 3).alias("cosine"), "rank"), caches
+    )
+
+
+@q("sim_ivf_topk", CONST_ORACLES.get("sim_ivf_topk"))
+def sim_ivf_topk(spark, sf_dir):
+    """IVF top-k over the sf-scaled embeddings table; deterministic (see
+    `sim_ivf_planted_topk`), so the sf0.01 output is pinned like
+    `sim_lsh_topk`'s (valid ONLY at sf0.01; tests run this entry there)."""
+    caches: list = []
+    out = similarity.ivf_topk_neighbors(
+        _t(spark, sf_dir, "embeddings"), k=3, n_lists=32, nprobe=4, caches=caches
+    )
+    return _finalize(
+        out.select("query_id", "nbr_id", F.round("cosine", 3).alias("cosine"), "rank"), caches
     )
 
 
@@ -2155,14 +2216,12 @@ def s13_blocking_index_sink(spark, sf_dir):
     per ingest batch of 50 docs), re-read as a table, and aggregated per
     batch against a source-view oracle — the sink round trip is
     value-checked like `s15_chunked_sink_merge`."""
-    import os as _os
-
     d = _t(spark, sf_dir, "documents")
     keys = d.select("doc_id", tokens(F.col("text")).alias("t")).select(
         "doc_id", F.explode(F.array_distinct(token_ngrams_from_tokens(F.col("t"), 3))).alias("gram")
     )
     idx = keys.withColumn("batch_id", F.floor(F.col("doc_id") / 50).cast("long"))
-    path = f"/tmp/blink_fixtures/{_os.path.basename(sf_dir.rstrip('/'))}_s13_index.parquet"
+    path = _fixture_path(spark, sf_dir, "s13_index.parquet")
     idx.write.partitionBy("batch_id").mode("overwrite").parquet(path)
     back = spark.read.parquet(path)
     return back.groupBy(F.col("batch_id").cast("long").alias("batch_id")).agg(
@@ -2170,6 +2229,104 @@ def s13_blocking_index_sink(spark, sf_dir):
         F.countDistinct("gram").alias("n_distinct_grams"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+@q(
+    "s12_checkpoint_resume",
+    """SELECT 'stage1_filtered' AS stage, COUNT(*) AS n_rows,
+              FALSE AS resumed_first_pass, TRUE AS resumed_reentry
+       FROM documents WHERE n_chars >= 200
+       UNION ALL
+       SELECT 'stage2_lang_agg' AS stage, COUNT(DISTINCT lang) AS n_rows,
+              FALSE AS resumed_first_pass, TRUE AS resumed_reentry
+       FROM documents WHERE n_chars >= 200""",
+)
+def s12_checkpoint_resume(spark, sf_dir):
+    """S12/S16: per-stage checkpoint + resume, made driver-checkable
+    (reference analog: npy prediction caches reread on restart,
+    `elq/main_dense.py:571-588,756-779`; per-stage pickle dumps,
+    `blink/candidate_retrieval/process_wikidata.py:103`). A two-stage
+    pipeline runs through :class:`CheckpointManager`; a SECOND manager over
+    the same base dir simulates process re-entry and must serve BOTH stages
+    from their committed checkpoints — its compute callables raise if ever
+    invoked, so a broken resume path turns this driver row red instead of
+    silently recomputing. Returns per-stage lineage row counts + resumed
+    flags, checked against a source-view oracle."""
+    import uuid as _uuid
+
+    from blink_spark.checkpoint import CheckpointManager
+
+    base = _fixture_path(spark, sf_dir, f"s12_ckpt_{_uuid.uuid4().hex[:8]}")
+    docs = _t(spark, sf_dir, "documents")
+
+    cm1 = CheckpointManager(spark, base, run_id="run0")
+    s1 = cm1.stage("stage1_filtered", lambda: docs.where(F.col("n_chars") >= 200))
+    cm1.stage(
+        "stage2_lang_agg", lambda: s1.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+    def _must_not_run():
+        raise RuntimeError("resume failed: a committed stage was recomputed on re-entry")
+
+    cm2 = CheckpointManager(spark, base, run_id="run0")
+    cm2.stage("stage1_filtered", _must_not_run)
+    cm2.stage("stage2_lang_agg", _must_not_run)
+
+    rows = [
+        (
+            name,
+            int(cm2.lineage(name)["rows"]),
+            name in cm1.stages_resumed,
+            name in cm2.stages_resumed,
+        )
+        for name in ("stage1_filtered", "stage2_lang_agg")
+    ]
+    return spark.createDataFrame(
+        rows, "stage string, n_rows bigint, resumed_first_pass boolean, resumed_reentry boolean"
+    )
+
+
+@q(
+    "t1_streaming_agg",
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+              COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+       FROM events GROUP BY 1, 2""",
+)
+def t1_streaming_agg(spark, sf_dir):
+    """§2.10 upgraded from test-only to driver-checked: the SAME windowed
+    aggregation as `t1_time_window_agg` executed as an ACTUAL Structured
+    Streaming query — file source over the events table split into multiple
+    files with ``maxFilesPerTrigger=1`` so the ``availableNow`` trigger
+    processes several micro-batches (real incremental state), complete-mode
+    aggregation, and the idempotent ``foreachBatch`` sink (every batch
+    overwrites ONE output dir, so a replay rewrites instead of duplicating —
+    the same discipline as streaming.incremental_features). The sink table
+    is read back and returned, so the driver compares a stream-produced
+    result against the batch SQL oracle."""
+    base = _fixture_path(spark, sf_dir, "t1_stream")
+    src, sink, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    e = _t(spark, sf_dir, "events")
+    e.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(e.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+    def sink_batch(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(sink)
+
+    sq = (
+        agg.writeStream.foreachBatch(sink_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    return spark.read.parquet(sink)
 
 
 # ---------------------------------------------------------------------------
@@ -2183,65 +2340,33 @@ def s13_blocking_index_sink(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _DRIVER_ORDER = [
-    # -- flagship & strongest oracles (never driver-checked before r3) ------
+    # -- new in round 4 (never driver-checked) --------------------------------
+    "s12_checkpoint_resume",
+    "t1_streaming_agg",
+    "sim_ivf_planted_topk",
+    "sim_ivf_topk",
+    # -- upgraded r4: rows-only → value-checked via sf0.01 corpus pins --------
+    "sim_lsh_topk",
+    "dedup_simhash_pairs",
+    # -- flagship canaries, pinned in EVERY window (exact ground-truth
+    #    oracles for the end-to-end pipeline) + the triple-green join canary --
     "er_docs_clusters",
     "er_incremental_clusters",
     "dedup_minhash_clusters",
-    "sim_bruteforce_topk",
+    "j1_broadcast_dim_join",
+    # -- green in r3 only (single-green — need a second driver row) ----------
+    "er_flagship_clusters",
     "er_candidate_pairs",
     "er_f1_metrics",
-    "er_flagship_clusters",
+    "sim_bruteforce_topk",
     "sim_lsh_planted_topk",
-    "dedup_simhash_pairs",
-    "sim_lsh_topk",
-    # -- oracle-bearing, zero driver rows across r1-r2 -----------------------
-    "p5_p6_gold_filter",
-    "p11_entity_text_projection",
-    "f_array_bundle",
-    "s14_jsonl_writer_roundtrip",
-    "s15_chunked_sink_merge",
+    "multimodal_image_features",
+    "s13_blocking_index_sink",
     "skew_salted_agg",
     "text_langid",
     "text_fingerprint",
-    # -- new in round 3 ------------------------------------------------------
-    "s13_blocking_index_sink",
-    "multimodal_image_features",
-    # -- pinned-oracle since r3 (were rows-only), zero driver rows r1-r2 -----
-    "multimodal_features",
-    "multimodal_audio_features",
-    "multimodal_frame_plan",
-    # -- green in r1 only (rotated out of the r2 window) ---------------------
-    "so4_semi_membership",
-    "f_string_bundle",
-    "f_math_bundle",
-    "f_json_bundle",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_neardup",
-    "text_token_stats",
-    "text_quality",
-    # -- green in r2 only -----------------------------------------------------
-    "s1_catalog_scan",
-    "s5_tsv_positional_scan",
-    "s6_conll_scan",
-    "s2_mention_scan_remap",
-    "s3_jsonl_limit_scan",
-    "s7_doc_block_reassembly",
-    "p12_alias_emoji_filter",
-    "s11_sqlite_scan",
-    "p10_context_quota_fit",
-    "s9_link_extraction_chain",
-    "s10_nested_json",
-    "j4_bm25_scored_topk",
-    "j5_ranked_candidates",
-    "a7_cumulative_histogram",
-    "t2_sessionization",
-    "w4_greedy_overlap_prune",
-    "so2_partition_union",
-    # -- double-green canary (slot 50) ----------------------------------------
-    "j1_broadcast_dim_join",
-    # ==== driver window ends here (first 50) ================================
-    # -- green in BOTH r1 and r2, oracle unchanged — rotated out --------------
+    "f_array_bundle",
+    # -- returning after one round out: green in r1 AND r2, unchanged oracles --
     "s17_sentence_split",
     "p1_normalize",
     "p3_min_token_filter",
@@ -2272,8 +2397,47 @@ _DRIVER_ORDER = [
     "w6_ordered_collect",
     "u10_joint_score_threshold",
     "w8_best_epoch",
+    # ==== driver window ends here (first 50) ================================
+    # window budget: 4 new + 2 upgraded + 4 canaries + 11 single-green + 29
+    # returning double-greens = 50. The entries below are the overflow
+    # (double-green so1/so3 and the two simplest single-greens); they
+    # re-enter in r5.
     "so1_union",
     "so3_except_anti",
+    "p5_p6_gold_filter",
+    "p11_entity_text_projection",
+    # -- green twice (r1+r3 or r2+r3), oracle unchanged — rotated out --------
+    "s14_jsonl_writer_roundtrip",
+    "s15_chunked_sink_merge",
+    "multimodal_features",
+    "multimodal_audio_features",
+    "multimodal_frame_plan",
+    "so4_semi_membership",
+    "f_string_bundle",
+    "f_math_bundle",
+    "f_json_bundle",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_neardup",
+    "text_token_stats",
+    "text_quality",
+    "s1_catalog_scan",
+    "s5_tsv_positional_scan",
+    "s6_conll_scan",
+    "s2_mention_scan_remap",
+    "s3_jsonl_limit_scan",
+    "s7_doc_block_reassembly",
+    "p12_alias_emoji_filter",
+    "s11_sqlite_scan",
+    "p10_context_quota_fit",
+    "s9_link_extraction_chain",
+    "s10_nested_json",
+    "j4_bm25_scored_topk",
+    "j5_ranked_candidates",
+    "a7_cumulative_histogram",
+    "t2_sessionization",
+    "w4_greedy_overlap_prune",
+    "so2_partition_union",
 ]
 
 _extra = set(REGISTRY) - set(_DRIVER_ORDER)

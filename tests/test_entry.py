@@ -16,6 +16,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entrymod
 
 SF_DIR = "/root/testdata/sf0.001"
+# Entries whose oracle is a constant VALUES pin generated from the sf0.01
+# corpus (scripts/gen_const_oracles.py PINNED_AT_SF): the pin is only valid
+# at that sf, so their Spark side runs there — the same sf the driver's
+# correctness gate uses.
+SF_PINNED_DIRS = {
+    "sim_lsh_topk": "/root/testdata/sf0.01",
+    "sim_ivf_topk": "/root/testdata/sf0.01",
+    "dedup_simhash_pairs": "/root/testdata/sf0.01",
+}
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -55,7 +64,7 @@ def test_queries_and_oracles_align():
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql()))
 def test_oracle_parity(spark, ddb, name):
     fn = entrymod.queries()[name]
-    sdf = fn(spark, SF_DIR)
+    sdf = fn(spark, SF_PINNED_DIRS.get(name, SF_DIR))
     spark_cols = sorted(sdf.columns)
     spark_rows = _norm_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
 
