@@ -264,3 +264,94 @@ def candidate_pairs(
         (F.col("sh_hit") == 1) | (F.col("mh_shared") >= cfg.min_shared_minhash_bands)
     ).select("conv_a", "conv_b")
     return pairs
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Dense global row numbers over a total order, WITHOUT the classic
+    single-partition global window (``Window.orderBy`` with no partitionBy
+    funnels the whole table through one task — the textbook scale killer).
+
+    Spark-first shape: ``repartitionByRange`` (the same range exchange a
+    global sort-merge uses) → per-partition ``row_number`` (partitioned
+    window, scale-safe) → add each partition's prefix-sum offset via a
+    broadcast join. The only driver-side data is one row PER PARTITION
+    (O(parts), like a broadcast dim) — never row data. The final rank is
+    independent of where the range boundaries land (offsets are computed
+    from actual partition counts), so output is deterministic at any
+    parallelism — asserted in tests.
+
+    ``order_cols`` must be a total order (callers append the id column as
+    tie-break); equal keys compare identically against every range
+    boundary, so a total order also makes the partitioning unambiguous.
+    """
+    spark = df.sparkSession
+    n_parts = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    s = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    local = s.withColumn("_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols)))
+    sizes = sorted(
+        (int(r["_pid"]), int(r["n"]))
+        for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in sizes:
+        offsets.append((pid, acc))
+        acc += n
+    off = spark.createDataFrame(offsets, "_pid int, _off long")
+    return (
+        local.join(F.broadcast(off), "_pid")
+        .withColumn("rn", (F.col("_lrn") + F.col("_off")).cast("long"))
+        .drop("_pid", "_lrn")
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_cols: list,
+    id_col: str = "doc_id",
+    window: int = 5,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD'95 — the
+    classic sort-based blocking family, complementing this module's
+    hash-based MinHash-LSH and SimHash modalities): sort the corpus by a
+    blocking key, slide a window of ``window`` records over the sorted
+    order, and emit every pair that co-occurs in some window — i.e. all
+    pairs within rank distance ``window - 1``.
+
+    Scale shape: :func:`global_rank` (range exchange + partitioned window +
+    broadcast offsets) → explode each row into its ``window - 1`` forward
+    rank keys → ONE equi-join on rank. Pair volume is exactly
+    ``Σ_{d=1..w-1} (n - d)`` — linear in corpus size by construction, the
+    property that makes SNM attractive when hash blocking over-generates.
+    A rank equi-join beats the naive ``b.rn BETWEEN a.rn+1 AND a.rn+w-1``
+    range join, which Spark can only execute as a broadcast-nested-loop.
+
+    Returns ``(id_a, id_b, dist)`` where ``id_a`` precedes ``id_b`` in the
+    sort order and ``dist`` is their rank distance (1 ≤ dist < window).
+    """
+    keyed = df.select(
+        F.col(id_col),
+        *[
+            (F.col(k) if isinstance(k, str) else k).alias(f"_k{i}")
+            for i, k in enumerate(key_cols)
+        ],
+    )
+    ranked = global_rank(
+        keyed, [f"_k{i}" for i in range(len(key_cols))] + [id_col]
+    ).select(F.col(id_col).alias("id_a"), "rn")
+    fwd = ranked.select(
+        "id_a",
+        F.col("rn").alias("rn_a"),
+        F.explode(F.sequence(F.col("rn") + 1, F.col("rn") + (window - 1))).alias("rn"),
+    )
+    return (
+        fwd.join(ranked.select(F.col("id_a").alias("id_b"), "rn"), "rn")
+        .select("id_a", "id_b", (F.col("rn") - F.col("rn_a")).cast("long").alias("dist"))
+    )

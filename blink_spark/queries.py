@@ -27,7 +27,7 @@ from blink_spark.functions.text import (
     tokens,
     word_window,
 )
-from blink_spark.operators import dedup, multimodal, similarity, spans, textstats
+from blink_spark.operators import blocking, dedup, multimodal, similarity, spans, textstats
 
 _CANON_SQL = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
 _TOKENS_SQL = f"string_split({_CANON_SQL.format(c='text')}, ' ')"
@@ -1940,6 +1940,38 @@ def er_f1_metrics(spark, sf_dir):
     )
 
 
+@q(
+    "er_snm_candidate_pairs",
+    r"""WITH ranked AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (
+                   ORDER BY lang,
+                            substr(lower(regexp_replace(text, '\s+', ' ', 'g')), 1, 24),
+                            doc_id
+                 ) AS rn
+          FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(b.rn - a.rn AS BIGINT) AS dist
+        FROM ranked a JOIN ranked b ON b.rn > a.rn AND b.rn <= a.rn + 4""",
+)
+def er_snm_candidate_pairs(spark, sf_dir):
+    """NEW r4 — sorted-neighborhood blocking (Hernández & Stolfo '95), the
+    sort-based blocking family next to the hash-based MinHash-LSH/SimHash
+    modalities: sort by (lang, normalized 24-char text prefix, doc_id),
+    emit all pairs within rank distance < 5. The Spark side never uses a
+    single-partition global window — `blocking.global_rank` is a range
+    exchange + partitioned row_number + broadcast prefix-sum offsets
+    (PLANS.md §7c) — while the oracle can afford DuckDB's plain
+    ROW_NUMBER + range self-join, so the two compute the same pair set by
+    entirely different plans: a real cross-engine check, not a pin."""
+    d = _t(spark, sf_dir, "documents")
+    key = F.substring(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")), 1, 24)
+    return blocking.sorted_neighborhood_pairs(
+        d, [F.col("lang"), key], id_col="doc_id", window=5
+    )
+
+
 @q("er_candidate_pairs", CONST_ORACLES.get("er_candidate_pairs"))
 def er_candidate_pairs(spark, sf_dir):
     """Stage-1 blocking output: candidate pairs for the synthetic corpus.
@@ -2345,6 +2377,7 @@ _DRIVER_ORDER = [
     "t1_streaming_agg",
     "sim_ivf_planted_topk",
     "sim_ivf_topk",
+    "er_snm_candidate_pairs",
     # -- upgraded r4: rows-only → value-checked via sf0.01 corpus pins --------
     "sim_lsh_topk",
     "dedup_simhash_pairs",
@@ -2396,12 +2429,12 @@ _DRIVER_ORDER = [
     "w3_topk_threshold_fallback",
     "w6_ordered_collect",
     "u10_joint_score_threshold",
-    "w8_best_epoch",
     # ==== driver window ends here (first 50) ================================
-    # window budget: 4 new + 2 upgraded + 4 canaries + 11 single-green + 29
+    # window budget: 5 new + 2 upgraded + 4 canaries + 11 single-green + 28
     # returning double-greens = 50. The entries below are the overflow
-    # (double-green so1/so3 and the two simplest single-greens); they
+    # (double-greens w8/so1/so3 and the two simplest single-greens); they
     # re-enter in r5.
+    "w8_best_epoch",
     "so1_union",
     "so3_except_anti",
     "p5_p6_gold_filter",

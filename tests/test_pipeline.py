@@ -121,3 +121,74 @@ def test_unpersist_releases_caches(spark):
     assert len(res.caches) > 0
     res.unpersist()
     assert res.caches == []
+
+
+# ---- sorted-neighborhood blocking (blocking.global_rank / snm) --------------
+
+def _snm_corpus(spark):
+    rows = [
+        (i, ["en", "de", "fr"][i % 3], f"doc {chr(97 + (i * 7) % 26)} body {i % 5}")
+        for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_global_rank_matches_naive_total_order(spark):
+    from blink_spark.operators import blocking
+
+    d = _snm_corpus(spark)
+    got = {
+        r["doc_id"]: r["rn"]
+        for r in blocking.global_rank(
+            d.select("doc_id", "lang"), ["lang", "doc_id"]
+        ).collect()
+    }
+    expect = {
+        doc_id: i + 1
+        for i, (lang, doc_id) in enumerate(
+            sorted((r["lang"], r["doc_id"]) for r in d.collect())
+        )
+    }
+    assert got == expect
+
+
+def test_global_rank_deterministic_across_partitioning(spark):
+    from blink_spark.operators import blocking
+
+    d = _snm_corpus(spark)
+    a = {r["doc_id"]: r["rn"] for r in blocking.global_rank(d.select("doc_id", "lang"), ["lang", "doc_id"]).collect()}
+    b = {
+        r["doc_id"]: r["rn"]
+        for r in blocking.global_rank(
+            d.repartition(7).select("doc_id", "lang"), ["lang", "doc_id"], n_partitions=3
+        ).collect()
+    }
+    assert a == b
+
+
+def test_snm_pairs_match_naive_sliding_window(spark):
+    """Pair set == the textbook definition: all pairs within rank distance
+    w-1 of the total order; count is exactly sum_{d=1..w-1} (n-d)."""
+    import pyspark.sql.functions as F  # noqa: N812
+
+    from blink_spark.operators import blocking
+
+    d = _snm_corpus(spark)
+    w = 4
+    out = blocking.sorted_neighborhood_pairs(
+        d, [F.col("lang"), F.substring("text", 1, 10)], id_col="doc_id", window=w
+    ).collect()
+    order = [
+        doc_id
+        for _, _, doc_id in sorted(
+            (r["lang"], r["text"][:10], r["doc_id"]) for r in d.collect()
+        )
+    ]
+    expect = {
+        (order[i], order[i + dist], dist)
+        for dist in range(1, w)
+        for i in range(len(order) - dist)
+    }
+    assert {(r["id_a"], r["id_b"], r["dist"]) for r in out} == expect
+    n = len(order)
+    assert len(out) == sum(n - dd for dd in range(1, w))
