@@ -287,6 +287,18 @@ def global_rank(
     ``order_cols`` must be a total order (callers append the id column as
     tie-break); equal keys compare identically against every range
     boundary, so a total order also makes the partitioning unambiguous.
+
+    The range-partitioned frame is ``localCheckpoint``-ed (eager) before
+    anything reads it: ``repartitionByRange`` picks its boundaries by
+    reservoir-sampling with a nondeterministic seed, so the sizes job and
+    the final join — two separate jobs — could otherwise land different
+    boundaries once an input partition exceeds the full-sample threshold,
+    desynchronizing the broadcast offsets from the join-side partitioning
+    (duplicated/skipped ranks). Freezing ONE evaluation makes both
+    consumers see identical ``_pid`` assignments at any scale. Same
+    mechanism the connected-components loop uses per round
+    (clustering.py); unlike ``persist`` there is no CacheManager entry to
+    leak — the blocks are released with the RDD.
     """
     spark = df.sparkSession
     n_parts = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -294,11 +306,12 @@ def global_rank(
         df.repartitionByRange(n_parts, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     local = s.withColumn("_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols)))
     sizes = sorted(
         (int(r["_pid"]), int(r["n"]))
-        for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in s.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
     )
     offsets, acc = [], 0
     for pid, n in sizes:
@@ -336,6 +349,12 @@ def sorted_neighborhood_pairs(
     Returns ``(id_a, id_b, dist)`` where ``id_a`` precedes ``id_b`` in the
     sort order and ``dist`` is their rank distance (1 ≤ dist < window).
     """
+    if window < 2:
+        raise ValueError(
+            f"window must be >= 2 (a window of {window} pairs nothing); "
+            "F.sequence(rn+1, rn+window-1) would otherwise run DESCENDING "
+            "and emit self-pairs"
+        )
     keyed = df.select(
         F.col(id_col),
         *[

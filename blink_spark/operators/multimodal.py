@@ -846,7 +846,7 @@ _IMAGE_FEATURE_SCHEMA = T.StructType(
 
 
 def image_features(media: DataFrame, n_bins: int = 8) -> DataFrame:
-    """Real image feature extraction over BMP/PPM/PGM/PNG payloads
+    """Real image feature extraction over BMP/PPM/PGM/PNG/JPEG payloads
     (``kind='image'``).
 
     Per image: dimensions, per-channel mean/std in [0, 1], and an

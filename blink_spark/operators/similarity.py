@@ -1,7 +1,8 @@
 """Similarity search over embedding columns: brute-force and LSH-bucketed top-k.
 
 The Spark-native analog of the reference's FAISS retrieval
-(``blink/indexer/faiss_indexer.py:47-141``): the exact path is a pruned
+(``blink/indexer/faiss_indexer.py:47-141``, IVF variant
+``elq/index/faiss_indexer.py:70-91``): the exact path is a pruned
 cross join + per-query top-k window (what ``IndexFlatIP`` computes), the
 scale path pre-buckets by random-hyperplane signs (what ``IndexHNSWFlat``/
 ``IndexIVFFlat`` approximate). Chunked partial-top-k-then-re-topk
@@ -170,12 +171,15 @@ def train_ivf_centroids(
     """Train an IVF coarse quantizer: k-means centroids from a deterministic
     hash sample of the corpus.
 
-    The FAISS-analog split (``blink/indexer/faiss_indexer.py:105-141`` trains
-    ``IndexIVFFlat`` on a sample, then adds the full corpus): the quantizer
-    is a MODEL, not data — ``sample_size`` vectors are collected to the
-    driver (bounded, e.g. 4096 × dim doubles ≈ a few MB at any corpus
-    scale), centroids are fit with seeded Lloyd iterations in numpy, and the
-    resulting (n_lists, dim) array is broadcast into the assignment UDF.
+    The FAISS-analog split (``elq/index/faiss_indexer.py:70-91``
+    ``DenseIVFFlatIndexer`` trains ``IndexIVFFlat``, then adds the full
+    corpus; NB the reference trains on the FULL data — the bounded-sample
+    training below is THIS implementation's scale choice, since collecting
+    100 TB to one node is not an option): the quantizer is a MODEL, not
+    data — ``sample_size`` vectors are collected to the driver (bounded,
+    e.g. 4096 × dim doubles ≈ a few MB at any corpus scale), centroids are
+    fit with seeded Lloyd iterations in numpy, and the resulting
+    (n_lists, dim) array is broadcast into the assignment UDF.
     The sample is a deterministic hash filter, not ``limit()`` — stable
     across partitionings and re-runs.
 
@@ -258,12 +262,15 @@ def ivf_topk_neighbors(
     C = train_ivf_centroids(
         embeddings, n_lists=n_lists, seed=seed, sample_size=sample_size, id_col=id_col, vec_col=vec_col
     )
-    corpus_assign = (
-        _ivf_assign(embeddings, C, 1, id_col, vec_col)
-        .select(F.col("vec_id").alias("nbr_id"), F.element_at("lists", 1).alias("list_id"))
-        .persist()
+    corpus_assign = _ivf_assign(embeddings, C, 1, id_col, vec_col).select(
+        F.col("vec_id").alias("nbr_id"), F.element_at("lists", 1).alias("list_id")
     )
     if caches is not None:
+        # persisted ONLY when the caller hands us a release list: the frame
+        # feeds two consumers (the size census and the join), but a persist
+        # nobody unpersists would leak into the session's CacheManager for
+        # its lifetime (callers without `caches` trade a recompute for that).
+        corpus_assign = corpus_assign.persist()
         caches.append(corpus_assign)
     sizes = corpus_assign.groupBy("list_id").agg(F.count(F.lit(1)).alias("n"))
     kept = corpus_assign.join(

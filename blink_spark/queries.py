@@ -2199,7 +2199,9 @@ def sim_lsh_planted_topk(spark, sf_dir):
 @q("sim_ivf_planted_topk", CONST_ORACLES.get("sim_ivf_planted_topk"))
 def sim_ivf_planted_topk(spark, sf_dir):
     """NEW r4 — the IVF scale path next to LSH (FAISS ``IndexIVFFlat``
-    analog, `blink/indexer/faiss_indexer.py:105-141`): spherical-k-means
+    analog, `elq/index/faiss_indexer.py:70-91` ``DenseIVFFlatIndexer``;
+    the reference trains on the full corpus — the bounded deterministic
+    hash-sample training is this engine's scale adaptation): spherical-k-means
     coarse quantizer trained on a deterministic hash sample, corpus assigned
     to its nearest list, queries probe their ``nprobe`` best lists, exact
     cosine re-scoring inside probed lists only. Deterministic end to end

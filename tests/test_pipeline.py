@@ -192,3 +192,16 @@ def test_snm_pairs_match_naive_sliding_window(spark):
     assert {(r["id_a"], r["id_b"], r["dist"]) for r in out} == expect
     n = len(order)
     assert len(out) == sum(n - dd for dd in range(1, w))
+
+
+def test_snm_rejects_degenerate_window(spark):
+    """window < 2 pairs nothing; the old F.sequence(rn+1, rn+window-1) path
+    silently ran DESCENDING and emitted self-pairs — must raise instead."""
+    import pytest as _pytest
+
+    from blink_spark.operators import blocking
+
+    d = _snm_corpus(spark)
+    for w in (0, 1):
+        with _pytest.raises(ValueError, match="window"):
+            blocking.sorted_neighborhood_pairs(d, ["lang"], id_col="doc_id", window=w)
