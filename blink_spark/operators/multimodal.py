@@ -19,11 +19,14 @@ Codec status, stated honestly per modality:
   IDCT + chroma upsample, pure numpy) — no external codec library — and
   :func:`image_features` extracts per-channel mean/std + a grayscale
   histogram from the actual pixels.
-* **video (H.264 etc.)** — inter-frame video codecs are NOT available in
-  this environment, so video stays stubbed behind ``decoder=``: the
-  default deterministic fake keeps the Spark-side plumbing (schema,
-  batching, partitioning, UDF signatures) fully real and testable, and a
-  real decoder (ffmpeg) drops in without touching the plan.
+* **video** — MJPEG-in-AVI is REAL: :func:`decode_video_frames` parses the
+  RIFF/AVI container (stdlib ``struct``) and decodes each ``00dc`` frame
+  chunk through :func:`decode_jpeg`; :func:`video_frame_features` extracts
+  per-frame features from the actual pixels at a sampling cadence.
+  Inter-frame codecs (H.264 etc.) are genuinely out of stdlib+numpy reach
+  and stay stubbed behind ``decoder=`` — the ``NotImplementedError`` is
+  scoped to exactly those payloads; a real decoder (ffmpeg) drops in
+  without touching the plan.
 """
 
 from __future__ import annotations
@@ -87,7 +90,8 @@ def fake_decode(payload: bytes, kind: str, dim: int = 64) -> np.ndarray:
 def real_decode(payload: bytes, kind: str, dim: int = 64) -> np.ndarray:
     """Real decoder entry point. Audio (WAV) decodes for real via
     :func:`decode_wav`; images (BMP/PPM/PGM/PNG/JPEG) via
-    :func:`decode_image`. Video codecs are absent in this environment."""
+    :func:`decode_image`; video (MJPEG-in-AVI) via
+    :func:`decode_video_frames` (inter-frame codecs raise)."""
     if kind == "audio":
         samples, _sr = decode_wav(payload)
         # pool to a fixed-dim feature: dim equal-width mean-abs segments
@@ -98,20 +102,26 @@ def real_decode(payload: bytes, kind: str, dim: int = 64) -> np.ndarray:
         n = float(np.linalg.norm(v))
         return v / n if n > 0 else v
     if kind == "image":
-        px = decode_image(payload)
-        # pool to a fixed-dim feature: dim equal-area mean-luma tiles over
-        # the row-major pixel stream
-        if px.size == 0:
-            return np.zeros(dim, dtype=np.float32)
-        luma = px.astype(np.float32).mean(axis=2).ravel() / 255.0
-        seg = np.array_split(luma, dim)
-        v = np.array([s.mean() if len(s) else 0.0 for s in seg], dtype=np.float32)
-        n = float(np.linalg.norm(v))
-        return v / n if n > 0 else v
-    raise NotImplementedError(
-        "video codecs are not installed in this environment; pass "
-        "decoder=fake_decode (default) or provide your own"
-    )
+        return _luma_tile_feature(decode_image(payload), dim)
+    # video: MJPEG-in-AVI decodes for real; temporal pooling = mean of the
+    # per-frame tile features, re-normalized
+    frames, _fps = decode_video_frames(payload)
+    feats = np.stack([_luma_tile_feature(f, dim) for f in frames])
+    v = feats.mean(axis=0)
+    n = float(np.linalg.norm(v))
+    return (v / n if n > 0 else v).astype(np.float32)
+
+
+def _luma_tile_feature(px: np.ndarray, dim: int) -> np.ndarray:
+    """(H, W, 3) pixels → ``dim`` equal-area mean-luma tiles over the
+    row-major pixel stream, L2-normalized."""
+    if px.size == 0:
+        return np.zeros(dim, dtype=np.float32)
+    luma = px.astype(np.float32).mean(axis=2).ravel() / 255.0
+    seg = np.array_split(luma, dim)
+    v = np.array([s.mean() if len(s) else 0.0 for s in seg], dtype=np.float32)
+    n = float(np.linalg.norm(v))
+    return v / n if n > 0 else v
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
@@ -965,8 +975,8 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per (media_id, frame_ts) to decode.
 
     Pure column math over the metadata (no payload touched): the fan-out
-    that a distributed frame extractor consumes. Decode itself is the
-    stubbed kernel above.
+    that a distributed frame extractor (:func:`video_frame_features`)
+    consumes.
     """
     return (
         media.where(F.col("kind") == "video")
@@ -976,6 +986,157 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                 F.sequence(F.lit(0), F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)), F.lit(every_ms))
             ).alias("frame_ts_ms"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL video: MJPEG-in-AVI. The RIFF/AVI container is a plain chunk tree
+# (stdlib struct); each '00dc' chunk in the 'movi' list is one baseline
+# JPEG frame that decode_jpeg consumes. Inter-frame codecs (H.264 etc.)
+# stay honestly stubbed — they are out of stdlib+numpy reach.
+# ---------------------------------------------------------------------------
+
+
+def avi_mjpeg_bytes(frames: list, fps: int = 10, quant: int | np.ndarray = 2) -> bytes:
+    """Encode RGB frames as a REAL AVI/MJPEG container (one ``00dc`` JPEG
+    chunk per frame; ``avih``/``strh`` carry the true fps and dimensions)."""
+    assert frames, "at least one frame"
+    jpegs = [jpeg_bytes(np.asarray(f, dtype=np.uint8), quant=quant) for f in frames]
+    h, w = np.asarray(frames[0]).shape[:2]
+
+    def chunk(fcc: bytes, data: bytes) -> bytes:
+        return fcc + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) % 2 else b"")
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    usec = int(round(1_000_000 / fps))
+    max_bytes = max(len(j) for j in jpegs)
+    avih = struct.pack(
+        "<14I",
+        usec, max_bytes * fps, 0, 0,          # usec/frame, bytes/sec, pad, flags
+        len(jpegs), 0, 1, max_bytes,           # total frames, initial, streams, sugg buf
+        w, h, 0, 0, 0, 0,                      # dims + reserved
+    )
+    strh = b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIII4H",
+        0, 0, 0, 0,                            # flags, priority, language, initial
+        1, fps, 0, len(jpegs),                 # scale, rate, start, length
+        max_bytes, 0xFFFFFFFF, 0,              # sugg buf, quality, sample size
+        0, 0, w, h,                            # rcFrame
+    )
+    strf = struct.pack("<I2i2H", 40, w, h, 1, 24) + b"MJPG" + struct.pack(
+        "<I2i2I", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_video_frames(payload: bytes) -> tuple[list, float]:
+    """REAL video decode for MJPEG-in-AVI: walk the RIFF chunk tree, decode
+    every ``00dc``/``00db`` movi chunk with :func:`decode_jpeg`. Returns
+    ``(frames, fps)``. Raises ``NotImplementedError`` for non-AVI payloads
+    (inter-frame codecs — H.264/VP9/AV1 — are out of stdlib+numpy reach)
+    and ``ValueError`` for a structurally broken AVI."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise NotImplementedError(
+            "only MJPEG-in-AVI video decodes in this environment; inter-frame "
+            "codecs (H.264 etc.) need an external decoder — pass decoder= "
+            "or pre-extract frames"
+        )
+    usec_per_frame = None
+    scale_rate: tuple[int, int] | None = None
+    jpegs: list[bytes] = []
+
+    def walk(buf: bytes, start: int, end: int, in_movi: bool) -> None:
+        nonlocal usec_per_frame, scale_rate
+        pos = start
+        while pos + 8 <= end:
+            fcc = buf[pos : pos + 4]
+            size = struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+            body_start, body_end = pos + 8, pos + 8 + size
+            if body_end > end:
+                raise ValueError("truncated AVI chunk")
+            if fcc == b"LIST":
+                kind = buf[body_start : body_start + 4]
+                walk(buf, body_start + 4, body_end, in_movi or kind == b"movi")
+            elif fcc == b"avih":
+                usec_per_frame = struct.unpack("<I", buf[body_start : body_start + 4])[0]
+            elif fcc == b"strh":
+                if buf[body_start : body_start + 4] == b"vids":
+                    scale, rate = struct.unpack("<II", buf[body_start + 20 : body_start + 28])
+                    scale_rate = (scale, rate)
+            elif in_movi and fcc[2:4] in (b"dc", b"db"):
+                jpegs.append(buf[body_start:body_end])
+            pos = body_end + (size % 2)  # chunks are word-aligned
+
+    walk(payload, 12, len(payload), False)
+    if not jpegs:
+        raise ValueError("AVI has no video frame chunks")
+    if scale_rate and scale_rate[0]:
+        fps = scale_rate[1] / scale_rate[0]
+    elif usec_per_frame:
+        fps = 1_000_000 / usec_per_frame
+    else:
+        fps = 25.0
+    return [decode_jpeg(j) for j in jpegs], fps
+
+
+FRAME_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("std_luma", T.DoubleType()),
+        T.StructField("motion", T.DoubleType()),  # mean |Δluma| vs prev sampled frame
+    ]
+)
+
+
+def video_frame_features(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL distributed frame extraction: decode each video payload
+    (MJPEG-in-AVI), sample the frame nearest each ``every_ms`` tick, and
+    emit per-frame features from the ACTUAL pixels (mean/std luma + a
+    motion proxy = mean abs luma delta vs the previous sampled frame).
+
+    One ``mapInPandas`` pass — embarrassingly parallel over media rows,
+    no shuffle; the video analog of :func:`image_features`. The reference
+    has no media path (SURVEY §2.9 n/a rows); this is LLM-training-
+    pipeline surface.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in FRAME_FEATURE_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames, fps = decode_video_frames(bytes(payload))
+                lumas = [f.astype(np.float64).mean(axis=2) for f in frames]
+                dur_ms = len(frames) * 1000.0 / fps
+                prev = None
+                for ts in range(0, max(int(dur_ms), 1), every_ms):
+                    idx = min(int(round(ts * fps / 1000.0)), len(frames) - 1)
+                    lu = lumas[idx]
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(idx)
+                    out["frame_ts_ms"].append(ts)
+                    out["height"].append(lu.shape[0])
+                    out["width"].append(lu.shape[1])
+                    out["mean_luma"].append(float(lu.mean()) / 255.0)
+                    out["std_luma"].append(float(lu.std()) / 255.0)
+                    out["motion"].append(
+                        float(np.abs(lu - prev).mean()) / 255.0 if prev is not None else 0.0
+                    )
+                    prev = lu
+            yield pd.DataFrame(out)
+
+    return (
+        media.where(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(gen, schema=FRAME_FEATURE_SCHEMA)
     )
 
 
@@ -999,8 +1160,12 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     gradient + noise patterns; PNG rows sweep scanline filters and JPEG
     rows sweep 4:4:4 / 4:2:0 sampling and a restart interval — the real
     :func:`decode_image` path consumes them all; every PNG filter and JPEG
-    mode additionally has a direct known-pixel unit test); video rows carry
-    opaque bytes for the stubbed codec.
+    mode additionally has a direct known-pixel unit test); two of every
+    three video rows carry VALID MJPEG-in-AVI containers (gradient frames
+    with a moving bar — the real :func:`decode_video_frames` /
+    :func:`video_frame_features` path consumes them), the third carries
+    opaque bytes standing in for inter-frame codecs (the scoped
+    ``NotImplementedError`` path).
     """
     rng = np.random.RandomState(seed)
     rows = []
@@ -1043,9 +1208,29 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                     restart_interval=3 if (i // 15) % 3 == 2 else 0,
                 )
                 mime = "image/jpeg"
-        else:
+        elif (i // 3) % 3 == 2:
+            # every third video row: opaque inter-frame payload — keeps the
+            # scoped NotImplementedError path (H.264 etc.) driver-visible
             dur_ms = int(rng.randint(500, 10_000))
             payload = rng.bytes(int(rng.randint(64, 2048)))
             mime = "video/mp4"
+        else:
+            # REAL MJPEG-in-AVI: 3-6 small gradient frames with a moving
+            # bright bar (so the motion feature is non-trivial)
+            fps = int(rng.randint(2, 6))
+            n_frames = int(rng.randint(3, 7))
+            width, height = int(rng.randint(16, 33)), int(rng.randint(16, 33))
+            col = np.arange(width, dtype=np.float64) / max(width - 1, 1)
+            frames = []
+            for fi in range(n_frames):
+                base = np.tile(col, (height, 1))[:, :, None] * 150.0 + np.array(
+                    [0.0, 30.0, 60.0]
+                )[None, None, :]
+                bar = (fi * max(width // n_frames, 1)) % width
+                base[:, bar : bar + 2, :] = 250.0
+                frames.append(np.clip(base, 0, 255).astype(np.uint8))
+            payload = avi_mjpeg_bytes(frames, fps=fps, quant=2)
+            dur_ms = int(n_frames * 1000 / fps)
+            mime = "video/x-msvideo"
         rows.append((i, kind, bytearray(payload), (mime, width, height, dur_ms)))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

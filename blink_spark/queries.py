@@ -2132,9 +2132,29 @@ def multimodal_audio_features(spark, sf_dir):
 
 @q("multimodal_frame_plan", CONST_ORACLES.get("multimodal_frame_plan"))
 def multimodal_frame_plan(spark, sf_dir):
-    """Video frame-sampling fan-out plan (pure metadata column math)."""
+    """REAL video frame extraction (upgraded r5 from a metadata-only plan):
+    MJPEG-in-AVI payloads are decoded frame-by-frame (RIFF walk +
+    decode_jpeg per 00dc chunk) and per-frame features come from the
+    ACTUAL pixels — mean/std luma + a motion proxy. Inter-frame-codec rows
+    (video/mp4 stand-ins) are excluded by mime: they are the scoped
+    NotImplementedError path. Known-pixel per-frame correctness is
+    asserted in tests/test_operators.py; the metadata fan-out plan stays
+    available as multimodal.frame_sample_plan."""
     media = multimodal.synth_media(spark, n=64, seed=42)
-    return multimodal.frame_sample_plan(media, every_ms=1000)
+    out = multimodal.video_frame_features(
+        media.where(F.col("meta.mime") == "video/x-msvideo"), every_ms=1000
+    )
+    f3 = lambda c: F.round(c, 3)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "frame_ts_ms",
+        "width",
+        "height",
+        f3("mean_luma").alias("mean_luma"),
+        f3("std_luma").alias("std_luma"),
+        f3("motion").alias("motion"),
+    )
 
 
 @q("multimodal_image_features", CONST_ORACLES.get("multimodal_image_features"))

@@ -198,7 +198,7 @@ def test_extract_features_deterministic_and_shaped(spark):
 
 
 def test_real_decoder_is_explicit_stub():
-    # video is the one modality left stubbed
+    # inter-frame video codecs (non-AVI payloads) are the one remaining stub
     with pytest.raises(NotImplementedError):
         multimodal.real_decode(b"bytes", "video")
     # unknown containers fail loudly, not silently
@@ -502,3 +502,99 @@ def test_synth_audio_payloads_are_valid_wav(spark):
         assert r.sample_rate == 8000
         assert r.duration_ms >= 500
         assert r.rms > 0.3  # 0.5-amplitude sine → RMS ≈ 0.354
+
+
+# ---- real video decode (MJPEG-in-AVI) ---------------------------------------
+
+def test_decode_video_frames_roundtrip_known_pixels():
+    """Known frames → AVI/MJPEG encode → decode: frame count, fps, and the
+    per-frame pixels (within JPEG quantization error) all round-trip."""
+    frames = []
+    for fi in range(4):
+        px = np.zeros((16, 16, 3), dtype=np.uint8)
+        px[:, :] = (40 + 50 * fi, 80, 120)  # distinct constant color per frame
+        frames.append(px)
+    payload = multimodal.avi_mjpeg_bytes(frames, fps=5, quant=1)
+    got, fps = multimodal.decode_video_frames(payload)
+    assert fps == pytest.approx(5.0)
+    assert len(got) == 4
+    for want, dec in zip(frames, got):
+        assert dec.shape == (16, 16, 3)
+        # constant color + quant=1: within the two rounding steps (±1)
+        assert int(np.max(np.abs(dec.astype(int) - want.astype(int)))) <= 1
+
+
+def test_decode_video_frames_rejections():
+    # non-AVI payloads are the scoped inter-frame-codec stub
+    with pytest.raises(NotImplementedError, match="MJPEG-in-AVI"):
+        multimodal.decode_video_frames(b"\x00\x00\x00\x18ftypmp42" + b"x" * 64)
+    # a structurally broken AVI fails loudly
+    import struct as _s
+    truncated = b"RIFF" + _s.pack("<I", 40) + b"AVI " + b"LIST" + _s.pack("<I", 9999) + b"movi"
+    with pytest.raises(ValueError, match="truncated AVI chunk"):
+        multimodal.decode_video_frames(truncated)
+    # an AVI with headers but zero frame chunks fails loudly
+    empty = b"RIFF" + _s.pack("<I", 16) + b"AVI " + b"LIST" + _s.pack("<I", 4) + b"movi"
+    with pytest.raises(ValueError, match="no video frame chunks"):
+        multimodal.decode_video_frames(empty)
+
+
+def test_video_frame_features_known_signal(spark):
+    """Constant-luma frames have closed-form features: mean_luma equals the
+    constant, std 0, motion 0 between identical frames and >0 across a
+    luma step."""
+    lo = np.full((8, 8, 3), 51, dtype=np.uint8)   # luma 51/255 = 0.2
+    hi = np.full((8, 8, 3), 153, dtype=np.uint8)  # luma 153/255 = 0.6
+    # 2 fps, 4 frames = 2000 ms → ticks at 0/1000 ms sample frames 0 and 2
+    payload = multimodal.avi_mjpeg_bytes([lo, lo, hi, hi], fps=2, quant=1)
+    media = spark.createDataFrame(
+        [(7, "video", bytearray(payload), ("video/x-msvideo", 8, 8, 2000))],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    rows = sorted(
+        multimodal.video_frame_features(media, every_ms=1000).collect(),
+        key=lambda r: r.frame_ts_ms,
+    )
+    assert [(r.frame_idx, r.frame_ts_ms) for r in rows] == [(0, 0), (2, 1000)]
+    assert rows[0].mean_luma == pytest.approx(0.2, abs=2 / 255)
+    assert rows[1].mean_luma == pytest.approx(0.6, abs=2 / 255)
+    for r in rows:
+        assert r.std_luma == pytest.approx(0.0, abs=2 / 255)
+        assert (r.width, r.height) == (8, 8)
+    assert rows[0].motion == 0.0  # first sampled frame has no predecessor
+    # 0.2 → 0.6 luma step: motion ≈ 0.4
+    assert rows[1].motion == pytest.approx(0.4, abs=4 / 255)
+
+
+def test_real_decode_video_feature_vector():
+    px = np.full((16, 16, 3), 200, dtype=np.uint8)
+    payload = multimodal.avi_mjpeg_bytes([px, px], fps=4, quant=1)
+    v = multimodal.real_decode(payload, "video", dim=16)
+    assert v.shape == (16,)
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
+    assert np.allclose(v, v[0])  # constant frames → uniform unit vector
+
+
+def test_synth_video_payloads_split_real_and_stub(spark):
+    """Two of three synthetic video rows are valid MJPEG-in-AVI (decode for
+    real, per-frame features flow); the third is the scoped inter-frame
+    stand-in that must raise NotImplementedError."""
+    media = multimodal.synth_media(spark, n=36, seed=9)
+    vids = media.where(F.col("kind") == "video")
+    avi = vids.where(F.col("meta.mime") == "video/x-msvideo")
+    mp4 = vids.where(F.col("meta.mime") == "video/mp4")
+    assert avi.count() == 8 and mp4.count() == 4  # 12 video rows, 2:1 split
+    feat = multimodal.video_frame_features(avi, every_ms=1000).collect()
+    by_media = {}
+    for r in feat:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert set(by_media) == {r.media_id for r in avi.collect()}
+    for rows in by_media.values():
+        rows.sort(key=lambda r: r.frame_ts_ms)
+        assert rows[0].motion == 0.0
+        # the moving bright bar guarantees nonzero inter-frame motion
+        if len(rows) > 1 and rows[1].frame_idx != rows[0].frame_idx:
+            assert rows[1].motion > 0.0
+    for r in mp4.collect():
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_video_frames(bytes(r.payload))
