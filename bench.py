@@ -174,6 +174,22 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
     )
     # 4. token-blocking join (BM25-retrieval analog)
     timed("token_blocking_join", lambda caches: Q.j4_token_blocking_join(spark, sf_dir).count())
+
+    # 4b. sorted-neighborhood blocking at pipeline scale: measures
+    # global_rank's range-exchange + partitioned-window + broadcast-offset
+    # plan on the sf-scaled documents corpus (the correctness rows run it
+    # only at sf0.01)
+    def snm_sweep(caches):
+        from pyspark.sql import functions as FF
+
+        from blink_spark.operators import blocking as B
+
+        key = FF.substring(FF.lower(FF.regexp_replace(FF.col("text"), r"\s+", " ")), 1, 24)
+        return B.sorted_neighborhood_pairs(
+            docs, [FF.col("lang"), key], id_col="doc_id", window=5
+        ).count()
+
+    timed("snm_pairs", snm_sweep)
     # 5. shuffle-heavy agg + window sweep over the largest table
     def lineitem_sweep():
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -207,18 +223,20 @@ def run_bench(master: str | None = None, sf_dir: str = SF_DIR) -> dict:
 
     spark = get_spark("bench", master=master or f"local[{CPUS}]")
     passes = []
+    rep_steal = []
     for _ in range(max(BENCH_REPS, 1)):
+        s0, j0 = _cpu_stat()
         t0 = time.time()
         timings, extra = _bench_queries(spark, sf_dir)
         passes.append((round(time.time() - t0, 3), timings, extra))
+        s1, j1 = _cpu_stat()
+        rep_steal.append(round(100.0 * (s1 - s0) / max(j1 - j0, 1), 2))
     total, timings, extra = min(passes, key=lambda p: p[0])
     rep_totals = [p[0] for p in passes]
-    srt = sorted(rep_totals)
-    median = round(
-        srt[len(srt) // 2] if len(srt) % 2 else (srt[len(srt) // 2 - 1] + srt[len(srt) // 2]) / 2, 3
-    )
+    median = _median(rep_totals)
+    spread = round(max(rep_totals) / min(rep_totals), 3)
     sf = float(sf_dir.rstrip("/").rsplit("/", 1)[-1].removeprefix("sf"))
-    return {
+    out = {
         "metric": "e2e_wall_sec",
         "value": total,
         "unit": "sec",
@@ -228,7 +246,22 @@ def run_bench(master: str | None = None, sf_dir: str = SF_DIR) -> dict:
         "throughput": {"er_turns_per_sec": extra["er_turns_per_sec"], "er_turns": extra["er_turns"]},
         "rep_totals": rep_totals,
         "median_total": median,
+        # host-window telemetry, same discipline as the scaling runs: steal%
+        # per rep makes outside contention a published number, and a wide
+        # rep spread is flagged in-artifact so a reader comparing rounds
+        # doesn't mistake a noisy host window for a code regression (this
+        # host has measured the identical sweep 29.3 s and 45.2 s two hours
+        # apart — see BENCH/NOTES.md round 4)
+        "rep_steal_pct": rep_steal,
+        "spread": spread,
     }
+    if spread > 1.5:
+        out["caveat"] = (
+            f"rep spread {spread}x exceeds 1.5x: the host's hour-scale speed "
+            "windows moved identical code between reps; compare rounds on "
+            "'value' (best rep), not 'median_total'"
+        )
+    return out
 
 
 def _cpu_stat() -> tuple[int, int]:

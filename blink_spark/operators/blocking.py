@@ -374,3 +374,52 @@ def sorted_neighborhood_pairs(
         fwd.join(ranked.select(F.col("id_a").alias("id_b"), "rn"), "rn")
         .select("id_a", "id_b", (F.col("rn") - F.col("rn_a")).cast("long").alias("dist"))
     )
+
+
+def sorted_neighborhood_pairs_multikey(
+    df: DataFrame,
+    key_passes: list,
+    id_col: str = "doc_id",
+    window: int = 5,
+) -> DataFrame:
+    """Multi-pass sorted-neighborhood blocking (Hernández & Stolfo,
+    SIGMOD'95 §4, "multi-pass approach"): run :func:`sorted_neighborhood_pairs`
+    once per key ordering in ``key_passes`` and union the pair sets. A
+    single sort key misses true matches that the key scatters (a typo in
+    the leading characters moves a record arbitrarily far in the sorted
+    order); several cheap passes with INDEPENDENT keys recover them —
+    the paper shows multiple small-window passes beat one large-window
+    pass at equal cost.
+
+    Scale shape: each pass is the linear-pair-volume SNM plan (range
+    exchange + partitioned row_number + rank equi-join); the union adds
+    one dedup shuffle over ``Σ passes × window × n`` pairs — still linear
+    in corpus size. Pairs are canonicalized ``(least, greatest)`` before
+    the dedup because two passes may order the same pair differently.
+
+    Returns ``(id_a, id_b, n_passes)`` with ``id_a < id_b`` and
+    ``n_passes`` = how many passes emitted the pair (an agreement signal
+    downstream scorers can weight, analogous to ``mh_shared`` in
+    :func:`candidate_pairs`).
+    """
+    if not key_passes:
+        raise ValueError("at least one key pass required")
+    per_pass = []
+    for pi, key_cols in enumerate(key_passes):
+        p = sorted_neighborhood_pairs(df, key_cols, id_col=id_col, window=window)
+        per_pass.append(
+            p.select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+                F.lit(pi).alias("_pass"),
+            )
+        )
+    allp = per_pass[0]
+    for p in per_pass[1:]:
+        allp = allp.unionByName(p)
+    # ranks are unique within a pass, so each pass emits a pair at most
+    # once; countDistinct(_pass) makes n_passes robust to that invariant
+    # ever changing (e.g. a salted variant emitting duplicates)
+    return allp.groupBy("id_a", "id_b").agg(
+        F.countDistinct("_pass").cast("long").alias("n_passes")
+    )

@@ -1972,6 +1972,52 @@ def er_snm_candidate_pairs(spark, sf_dir):
     )
 
 
+@q(
+    "er_snm_multikey_pairs",
+    r"""WITH r0 AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (
+                   ORDER BY lang,
+                            substr(lower(regexp_replace(text, '\s+', ' ', 'g')), 1, 24),
+                            doc_id
+                 ) AS rn
+          FROM documents
+        ),
+        r1 AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY source, n_chars, doc_id) AS rn
+          FROM documents
+        ),
+        unioned AS (
+          SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+                 GREATEST(a.doc_id, b.doc_id) AS id_b, 0 AS p
+          FROM r0 a JOIN r0 b ON b.rn > a.rn AND b.rn <= a.rn + 4
+          UNION ALL
+          SELECT LEAST(a.doc_id, b.doc_id), GREATEST(a.doc_id, b.doc_id), 1
+          FROM r1 a JOIN r1 b ON b.rn > a.rn AND b.rn <= a.rn + 4
+        )
+        SELECT id_a, id_b, CAST(COUNT(DISTINCT p) AS BIGINT) AS n_passes
+        FROM unioned GROUP BY id_a, id_b""",
+)
+def er_snm_multikey_pairs(spark, sf_dir):
+    """NEW r5 — multi-pass sorted-neighborhood blocking (Hernández &
+    Stolfo '95 §4): two independent sort keys — (lang, normalized text
+    prefix) and (source, n_chars) — each slid with window 5, pair sets
+    canonicalized and unioned with a per-pair pass count. The standard SNM
+    recall fix: a key that scatters a true match (typo in the leading
+    chars) is covered by the other pass. Cross-engine like the single-key
+    entry: Spark's scale-safe global_rank plan vs DuckDB's plain
+    ROW_NUMBER + range self-join."""
+    d = _t(spark, sf_dir, "documents")
+    key = F.substring(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")), 1, 24)
+    return blocking.sorted_neighborhood_pairs_multikey(
+        d,
+        [[F.col("lang"), key], [F.col("source"), F.col("n_chars")]],
+        id_col="doc_id",
+        window=5,
+    )
+
+
 @q("er_candidate_pairs", CONST_ORACLES.get("er_candidate_pairs"))
 def er_candidate_pairs(spark, sf_dir):
     """Stage-1 blocking output: candidate pairs for the synthetic corpus.
@@ -2099,6 +2145,72 @@ def er_incremental_clusters(spark, sf_dir):
         F.col("cluster_id").cast("long").alias("cluster_id"),
     )
     return _finalize(out, phase1.caches + res.caches)
+
+
+@q(
+    "er_streaming_clusters",
+    # Identical exact ground truth as er_docs_clusters/er_incremental_
+    # clusters: the STREAMING path (corpus arrives as micro-batches through
+    # incremental_er_stream's foreachBatch — each batch is a delta
+    # incremental_update against durable feature/assignment state starting
+    # EMPTY) must land on the same clustering as one batch run, because the
+    # star-edge CC merge is exact and delta blocking finds each pair when
+    # its later member arrives, regardless of batch order.
+    f"""WITH RECURSIVE g AS (
+         SELECT doc_id, {_DERIVED_GRAMS_SQL} AS g
+         FROM (SELECT doc_id, string_split({_DERIVED_DOC_SQL}, ' ') AS t FROM documents)),
+       p AS (
+         SELECT a.doc_id AS ai, b.doc_id AS bi
+         FROM g a JOIN g b ON a.doc_id < b.doc_id
+         WHERE CASE WHEN len(list_distinct(a.g || b.g)) = 0 THEN 1.0
+                    ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                         / len(list_distinct(a.g || b.g)) END >= 0.5
+       ),
+       e AS (SELECT ai AS a, bi AS b FROM p UNION ALL SELECT bi, ai FROM p),
+       reach(s, t) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT r.s, e.b FROM reach r JOIN e ON e.a = r.t
+       )
+       SELECT s AS doc_id, CAST(MIN(CAST(t AS VARCHAR)) AS BIGINT) AS cluster_id
+       FROM reach GROUP BY s""",
+)
+def er_streaming_clusters(spark, sf_dir):
+    """NEW r5 — STREAMING entity resolution, driver-checked against the
+    exact all-pairs + transitive-closure SQL ground truth: the documents-
+    derived transcript corpus is split into 3 parquet files and streamed
+    through `incremental.incremental_er_stream` (file source,
+    ``maxFilesPerTrigger=1`` → 3 real micro-batches; ``foreachBatch`` runs
+    a delta `incremental_update` per batch against durable state that
+    starts EMPTY, with idempotent per-batch feature appends and an
+    assignment refresh). The final assignments/latest table must equal the
+    one-shot batch clustering — micro-batch ≡ incremental ≡ batch."""
+    from blink_spark.operators import incremental
+
+    base = _fixture_path(spark, sf_dir, "er_stream")
+    src, state, ckpt = f"{base}/src", f"{base}/state", f"{base}/ckpt"
+
+    docs = _t(spark, sf_dir, "documents")
+    transcripts = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.posexplode(F.split(F.col("text"), r"\. ")).alias("turn_idx", "text"),
+    )
+    # 3 arrival waves by doc_id — each wave ONE parquet file so
+    # maxFilesPerTrigger=1 yields exactly 3 micro-batches
+    for wave in range(3):
+        transcripts.where(F.col("conv_id").cast("long") % 3 == wave).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(transcripts.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    sq = incremental.incremental_er_stream(stream, state_dir=state, checkpoint_dir=ckpt)
+    sq.awaitTermination()
+    return spark.read.parquet(f"{state}/assignments/latest").select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
 
 
 @q("multimodal_features", CONST_ORACLES.get("multimodal_features"))
@@ -2393,14 +2505,23 @@ def t1_streaming_agg(spark, sf_dir):
 # place ordering is decided.
 # ---------------------------------------------------------------------------
 
-_DRIVER_ORDER = [
-    # -- new in round 4 (never driver-checked) --------------------------------
+# r5 window budget: 2 new + 1 missed-r4 (u10 sat at position 51 — the r4
+# list was one over budget, caught in review) + 5 r4 first-timers + 2
+# r4-upgraded pins + 4 canaries + 36 rotated back in = 50. The two lists
+# are separate so the length is asserted structurally, not counted by hand.
+_DRIVER_WINDOW = [
+    # -- new in round 5 (never driver-checked) --------------------------------
+    "er_snm_multikey_pairs",
+    "er_streaming_clusters",
+    # -- missed r4 by the off-by-one (documented as in-window, was 51st) ------
+    "u10_joint_score_threshold",
+    # -- r4 first-timers: second driver row -----------------------------------
     "s12_checkpoint_resume",
     "t1_streaming_agg",
     "sim_ivf_planted_topk",
     "sim_ivf_topk",
     "er_snm_candidate_pairs",
-    # -- upgraded r4: rows-only → value-checked via sf0.01 corpus pins --------
+    # -- upgraded r4 (rows-only → sf0.01 value pins): second value row --------
     "sim_lsh_topk",
     "dedup_simhash_pairs",
     # -- flagship canaries, pinned in EVERY window (exact ground-truth
@@ -2409,59 +2530,14 @@ _DRIVER_ORDER = [
     "er_incremental_clusters",
     "dedup_minhash_clusters",
     "j1_broadcast_dim_join",
-    # -- green in r3 only (single-green — need a second driver row) ----------
-    "er_flagship_clusters",
-    "er_candidate_pairs",
-    "er_f1_metrics",
-    "sim_bruteforce_topk",
-    "sim_lsh_planted_topk",
-    "multimodal_image_features",
-    "s13_blocking_index_sink",
-    "skew_salted_agg",
-    "text_langid",
-    "text_fingerprint",
-    "f_array_bundle",
-    # -- returning after one round out: green in r1 AND r2, unchanged oracles --
-    "s17_sentence_split",
-    "p1_normalize",
-    "p3_min_token_filter",
-    "p4_keyword_filter",
-    "p8_context_window",
-    "p9_lag_lead",
-    "j6_fallback_join",
-    "j8_link_count_join",
-    "j4_token_blocking_join",
-    "j5_prior_fallback_join",
-    "j7_containment_selfjoin",
-    "j10_array_position",
-    "j12_interval_overlap_join",
-    "a1_recall_at_k",
-    "a2_a5_rank_histogram",
-    "a3_a4_accuracy",
-    "a6_rollup_by_group",
-    "a8_prf1",
-    "a9_macro_micro",
-    "a10_mrr",
-    "a12_dedup_stats",
-    "a13_group_collect",
-    "a11_match_rate_counters",
-    "t1_time_window_agg",
-    "w1_topk_per_group",
-    "w2_rank_argsort",
-    "w3_topk_threshold_fallback",
-    "w6_ordered_collect",
-    "u10_joint_score_threshold",
-    # ==== driver window ends here (first 50) ================================
-    # window budget: 5 new + 2 upgraded + 4 canaries + 11 single-green + 28
-    # returning double-greens = 50. The entries below are the overflow
-    # (double-greens w8/so1/so3 and the two simplest single-greens); they
-    # re-enter in r5.
+    # -- rotated back in after one round out (ledger: PARITY.md). multimodal_
+    #    frame_plan upgraded to REAL per-frame video features this round
+    #    (regenerated pin), so its row is a fresh check, not a repeat --------
     "w8_best_epoch",
     "so1_union",
     "so3_except_anti",
     "p5_p6_gold_filter",
     "p11_entity_text_projection",
-    # -- green twice (r1+r3 or r2+r3), oracle unchanged — rotated out --------
     "s14_jsonl_writer_roundtrip",
     "s15_chunked_sink_merge",
     "multimodal_features",
@@ -2495,11 +2571,63 @@ _DRIVER_ORDER = [
     "so2_partition_union",
 ]
 
+# Rotated out for r5 (every entry below is double-green across r1–r4 with
+# code and oracle unchanged; the r4 window greened the whole block).
+_DRIVER_REST = [
+    "er_flagship_clusters",
+    "er_candidate_pairs",
+    "er_f1_metrics",
+    "sim_bruteforce_topk",
+    "sim_lsh_planted_topk",
+    "multimodal_image_features",
+    "s13_blocking_index_sink",
+    "skew_salted_agg",
+    "text_langid",
+    "text_fingerprint",
+    "f_array_bundle",
+    "s17_sentence_split",
+    "p1_normalize",
+    "p3_min_token_filter",
+    "p4_keyword_filter",
+    "p8_context_window",
+    "p9_lag_lead",
+    "j6_fallback_join",
+    "j8_link_count_join",
+    "j4_token_blocking_join",
+    "j5_prior_fallback_join",
+    "j7_containment_selfjoin",
+    "j10_array_position",
+    "j12_interval_overlap_join",
+    "a1_recall_at_k",
+    "a2_a5_rank_histogram",
+    "a3_a4_accuracy",
+    "a6_rollup_by_group",
+    "a8_prf1",
+    "a9_macro_micro",
+    "a10_mrr",
+    "a12_dedup_stats",
+    "a13_group_collect",
+    "a11_match_rate_counters",
+    "t1_time_window_agg",
+    "w1_topk_per_group",
+    "w2_rank_argsort",
+    "w3_topk_threshold_fallback",
+    "w6_ordered_collect",
+]
+
+assert len(_DRIVER_WINDOW) == 50, (
+    f"driver window must be exactly 50 entries, got {len(_DRIVER_WINDOW)} "
+    "(the correctness runner reads the first 50; r4 shipped 51 and silently "
+    "dropped u10 — this assert makes that impossible to repeat)"
+)
+_DRIVER_ORDER = _DRIVER_WINDOW + _DRIVER_REST
+
 _extra = set(REGISTRY) - set(_DRIVER_ORDER)
 _missing = set(_DRIVER_ORDER) - set(REGISTRY)
 assert not _extra and not _missing, (
     f"_DRIVER_ORDER out of sync: unordered={sorted(_extra)} unknown={sorted(_missing)}"
 )
+assert len(_DRIVER_ORDER) == len(set(_DRIVER_ORDER)), "duplicate entry in _DRIVER_ORDER"
 REGISTRY = {name: REGISTRY[name] for name in _DRIVER_ORDER}
 
 

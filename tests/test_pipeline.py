@@ -205,3 +205,64 @@ def test_snm_rejects_degenerate_window(spark):
     for w in (0, 1):
         with _pytest.raises(ValueError, match="window"):
             blocking.sorted_neighborhood_pairs(d, ["lang"], id_col="doc_id", window=w)
+
+
+def test_snm_multikey_union_is_exact_and_counts_passes(spark):
+    """Multi-pass output == canonicalized union of the per-pass pair sets,
+    with n_passes counting how many passes emitted the pair."""
+    import pyspark.sql.functions as F  # noqa: N812
+
+    from blink_spark.operators import blocking
+
+    d = _snm_corpus(spark)
+    w = 3
+    passes = [[F.col("lang"), F.col("doc_id")], [F.substring("text", 1, 10), F.col("doc_id")]]
+    got = {
+        (r["id_a"], r["id_b"]): r["n_passes"]
+        for r in blocking.sorted_neighborhood_pairs_multikey(
+            d, passes, id_col="doc_id", window=w
+        ).collect()
+    }
+    expect: dict = {}
+    for key_cols in passes:
+        single = blocking.sorted_neighborhood_pairs(d, key_cols, id_col="doc_id", window=w)
+        for r in single.collect():
+            pair = (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+            expect[pair] = expect.get(pair, 0) + 1
+    assert got == expect
+    assert max(got.values()) == 2  # the shared doc_id tie-break guarantees overlap
+
+
+def test_snm_multikey_recovers_what_a_single_key_scatters(spark):
+    """The Hernández & Stolfo §4 motivation, planted: near-dup pairs whose
+    FIRST sort key differs in the leading character (a 'typo') end up far
+    apart under key 1 but adjacent under key 2 — the multi-pass union's
+    recall strictly exceeds either single pass."""
+    import pyspark.sql.functions as F  # noqa: N812
+
+    from blink_spark.operators import blocking
+
+    # 30 filler docs + 5 planted pairs: twins share `grp` (key 2 sorts them
+    # adjacent) but one twin's name is typo'd in char 1 (key 1 scatters)
+    rows = [(i, f"m_{i:03d}", 1000 + i) for i in range(30)]
+    gold = []
+    for j in range(5):
+        a, b = 100 + 2 * j, 101 + 2 * j
+        rows.append((a, f"aaa_twin_{j}", 5000 + j))
+        rows.append((b, f"zzz_twin_{j}", 5000 + j))  # leading-char typo
+        gold.append((a, b))
+    d = spark.createDataFrame(rows, "doc_id long, name string, grp long")
+
+    def recall(pairs_df):
+        got = {(min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"])) for r in pairs_df.collect()}
+        return sum(1 for g in gold if g in got) / len(gold)
+
+    k_name = [F.col("name"), F.col("doc_id")]
+    k_grp = [F.col("grp"), F.col("doc_id")]
+    r_name = recall(blocking.sorted_neighborhood_pairs(d, k_name, id_col="doc_id", window=3))
+    r_multi = recall(
+        blocking.sorted_neighborhood_pairs_multikey(d, [k_name, k_grp], id_col="doc_id", window=3)
+    )
+    assert r_name == 0.0  # key 1 alone misses every planted pair
+    assert r_multi == 1.0  # the second pass recovers all of them
+    assert r_multi > r_name
