@@ -254,29 +254,34 @@ def ivf_topk_neighbors(
     adapts to the data distribution, LSH needs no training pass).
 
     Plan shape at 100 TB: one driver-side model fit on a bounded sample →
-    one Arrow map pass per side (corpus assignment ``nprobe=1``, query
-    probes ``nprobe=n``) → equi-join on list id → windowed top-k. No cross
-    join anywhere; ``max_list`` caps degenerate lists the same way
-    ``max_bucket`` caps hot LSH buckets.
+    ONE Arrow map pass computing each vector's ``nprobe`` best lists,
+    shared by both join sides (the corpus-side ``nprobe=1`` assignment is
+    exactly ``lists[0]`` because probes come out ordered best-first, so a
+    separate corpus pass would rescan the embeddings for the same answer)
+    → equi-join on list id → windowed top-k. No cross join anywhere;
+    ``max_list`` caps degenerate lists the same way ``max_bucket`` caps
+    hot LSH buckets.
     """
     C = train_ivf_centroids(
         embeddings, n_lists=n_lists, seed=seed, sample_size=sample_size, id_col=id_col, vec_col=vec_col
     )
-    corpus_assign = _ivf_assign(embeddings, C, 1, id_col, vec_col).select(
-        F.col("vec_id").alias("nbr_id"), F.element_at("lists", 1).alias("list_id")
-    )
+    assign = _ivf_assign(embeddings, C, nprobe, id_col, vec_col)
     if caches is not None:
         # persisted ONLY when the caller hands us a release list: the frame
-        # feeds two consumers (the size census and the join), but a persist
-        # nobody unpersists would leak into the session's CacheManager for
-        # its lifetime (callers without `caches` trade a recompute for that).
-        corpus_assign = corpus_assign.persist()
-        caches.append(corpus_assign)
+        # feeds three consumers (size census, corpus join side, query probe
+        # side), but a persist nobody unpersists would leak into the
+        # session's CacheManager for its lifetime (callers without `caches`
+        # trade recomputes of the Arrow pass for that).
+        assign = assign.persist()
+        caches.append(assign)
+    corpus_assign = assign.select(
+        F.col("vec_id").alias("nbr_id"), F.element_at("lists", 1).alias("list_id")
+    )
     sizes = corpus_assign.groupBy("list_id").agg(F.count(F.lit(1)).alias("n"))
     kept = corpus_assign.join(
         F.broadcast(sizes.where(F.col("n") > max_list)), "list_id", "left_anti"
     )
-    probes = _ivf_assign(embeddings, C, nprobe, id_col, vec_col).select(
+    probes = assign.select(
         F.col("vec_id").alias("query_id"), F.explode("lists").alias("list_id")
     )
     vecs = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
