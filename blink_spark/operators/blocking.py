@@ -68,6 +68,17 @@ class BlockingConfig:
     # of ≤ max_block_size members (operators/skew.py) — bounded B·max pair
     # volume instead of 0, for corpora where hot keys still carry signal.
     overflow: str = "drop"
+    # optional THIRD blocking modality: a sorted-neighborhood pass over the
+    # doc_head prefix (0/1 = off, the default; ≥2 = window size). Hash
+    # blocking has a sensitivity floor — a pair at trigram Jaccard ~0.2
+    # (heavily corrupted twin) shares few MinHash bands and can miss both
+    # hash modalities (observed: the one blocking miss in a 24-seed sweep,
+    # seed 13, j=0.203) — while the same pair sorts adjacent under a text
+    # prefix. SNM adds ≤ (window-1)·n pairs, linear in corpus size; the
+    # exact pair scorer keeps precision, so enabling it can only add
+    # recall. Off by default to keep the seeded regression pins stable.
+    snm_window: int = 0
+    snm_key_chars: int = 24
     vec_dim: int = 256           # hashed n-gram embedding dim
     seed: int = 42
 
@@ -373,6 +384,28 @@ def sorted_neighborhood_pairs(
     return (
         fwd.join(ranked.select(F.col("id_a").alias("id_b"), "rn"), "rn")
         .select("id_a", "id_b", (F.col("rn") - F.col("rn_a")).cast("long").alias("dist"))
+    )
+
+
+def snm_pairs_from_features(features: DataFrame, cfg: BlockingConfig) -> DataFrame:
+    """The optional third blocking modality: sorted-neighborhood pairs over
+    the feature table's ``doc_head`` prefix, canonicalized to the same
+    ``(conv_a < conv_b)`` shape :func:`candidate_pairs` emits so the caller
+    can union + dedup them.
+
+    Empty documents are excluded for the same reason they emit no hash
+    keys (compute_features): every empty doc_head sorts identically and a
+    window over them would pair unrelated empty conversations.
+    """
+    key = F.substring(F.col("doc_head"), 1, cfg.snm_key_chars)
+    pairs = sorted_neighborhood_pairs(
+        features.select("conv_id", "doc_head").where(F.length("doc_head") > 0),
+        [key],
+        id_col="conv_id",
+        window=cfg.snm_window,
+    )
+    return pairs.select(
+        F.least("id_a", "id_b").alias("conv_a"), F.greatest("id_a", "id_b").alias("conv_b")
     )
 
 

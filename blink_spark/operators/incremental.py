@@ -115,9 +115,30 @@ def delta_candidate_pairs(
             F.max(F.when(F.col("modality") == "simhash", 1).otherwise(0)).alias("sh_hit"),
         )
     )
-    return shared.where(
+    pairs = shared.where(
         (F.col("sh_hit") == 1) | (F.col("mh_shared") >= cfg.min_shared_minhash_bands)
     ).select("conv_a", "conv_b")
+    if cfg.snm_window >= 2:
+        # SNM delta leg: rank the UNION corpus (same ordering a full batch
+        # would see) but keep only pairs with ≥1 new side. Old×old pairs
+        # within the new ranking's window were within the OLD ranking's
+        # window too (inserting rows can only push old rows further apart),
+        # so the old batch already considered them — dropping them here
+        # preserves never-old×old without losing batch-visible pairs.
+        feats_all = features_new.select("conv_id", "doc_head").unionByName(
+            features_old.select("conv_id", "doc_head")
+        )
+        snm = blocking.snm_pairs_from_features(feats_all, cfg)
+        new_ids = features_new.select("conv_id")
+        snm_delta = snm.join(
+            F.broadcast(new_ids.withColumnRenamed("conv_id", "conv_a")), "conv_a", "left_semi"
+        ).unionByName(
+            snm.join(
+                F.broadcast(new_ids.withColumnRenamed("conv_id", "conv_b")), "conv_b", "left_semi"
+            )
+        )
+        pairs = pairs.unionByName(snm_delta).dropDuplicates()
+    return pairs
 
 
 def star_edges(assignments: DataFrame) -> DataFrame:

@@ -42,14 +42,28 @@ def simulate(seed: int, n_conv: int = 100, bcfg: BlockingConfig | None = None, s
     sh_sets = {c: set(skeys[i].tolist()) for i, c in enumerate(cids)}
     sh_u64 = sh.view(np.uint64)
     idx = {c: i for i, c in enumerate(cids)}
+    # mirror of blocking.snm_pairs_from_features: rank non-empty docs by the
+    # doc_head prefix (tie-break conv_id), pair within snm_window
+    snm_rank = {}
+    if bcfg.snm_window >= 2:
+        head = {c: docs[c][:_HEAD_CHARS] for c in cids}
+        order = sorted((c for c in cids if head[c]), key=lambda c: (head[c][: bcfg.snm_key_chars], c))
+        snm_rank = {c: i for i, c in enumerate(order)}
 
     def blocked_pair(a: str, b: str) -> bool:
-        """Mirror of blocking.candidate_pairs: ≥min_shared MinHash bands OR
-        (SimHash slice-pair key AND full-64-bit hamming ≤ sim_max_hamming)."""
+        """Mirror of blocking.candidate_pairs (+ the opt-in SNM modality):
+        ≥min_shared MinHash bands OR (SimHash slice-pair key AND full-64-bit
+        hamming ≤ sim_max_hamming) OR rank distance < snm_window."""
         if len(mh_sets[a] & mh_sets[b]) >= bcfg.min_shared_minhash_bands:
             return True
-        return bool(sh_sets[a] & sh_sets[b]) and (
+        if bool(sh_sets[a] & sh_sets[b]) and (
             bin(int(sh_u64[idx[a]]) ^ int(sh_u64[idx[b]])).count("1") <= bcfg.sim_max_hamming
+        ):
+            return True
+        return (
+            a in snm_rank
+            and b in snm_rank
+            and abs(snm_rank[a] - snm_rank[b]) < bcfg.snm_window
         )
 
     gold = labels[labels.is_match == 1]
@@ -103,10 +117,12 @@ def simulate(seed: int, n_conv: int = 100, bcfg: BlockingConfig | None = None, s
 
 
 if __name__ == "__main__":
-    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = [a for a in sys.argv[1:] if a != "--snm"]
+    n_seeds = int(args[0]) if args else 10
+    cfg = BlockingConfig(snm_window=3) if "--snm" in sys.argv else None
     worst = 1.0
     for seed in range(1, n_seeds + 1):
-        r = simulate(seed)
+        r = simulate(seed, bcfg=cfg)
         fn = len(r["block_miss"]) + len(r["score_miss"])
         tp = r["gold"] - fn
         fp = len(r["neg_fp"])

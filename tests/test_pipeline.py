@@ -207,6 +207,64 @@ def test_snm_rejects_degenerate_window(spark):
             blocking.sorted_neighborhood_pairs(d, ["lang"], id_col="doc_id", window=w)
 
 
+def test_snm_modality_recovers_low_jaccard_twin(spark):
+    """Seed 13 is the one corpus in the 24-seed sweep where hash blocking
+    misses a gold pair (a heavily corrupted twin at trigram Jaccard 0.203 —
+    below the MinHash band sensitivity floor). The pair sorts within rank
+    distance 2 under the doc_head prefix, so the opt-in SNM modality
+    (snm_window=3) must recover it and lift pipeline F1 to 1.0."""
+    from blink_spark import metrics, synth
+    from blink_spark.operators import blocking
+    from blink_spark.pipeline import ERPipeline, PipelineConfig
+
+    t, labels = synth.transcripts_df(spark, synth.SynthConfig(n_conversations=100, seed=13))
+    miss = ("e000098_c1", "e000098_c3")
+
+    # default (hash-only) blocking misses exactly this pair
+    res0 = ERPipeline().run(spark, t, compute_metrics=False)
+    got0 = {(r["conv_a"], r["conv_b"]) for r in res0.pairs.collect()}
+    assert miss not in got0
+    res0.unpersist()
+
+    cfg = PipelineConfig(blocking=blocking.BlockingConfig(snm_window=3))
+    res1 = ERPipeline(cfg).run(spark, t, compute_metrics=False)
+    got1 = {(r["conv_a"], r["conv_b"]) for r in res1.pairs.collect()}
+    assert miss in got1
+    assert got0 <= got1  # SNM only ADDS candidates
+    m = metrics.pairwise_f1(res1.assignments, labels)
+    assert m["f1"] == 1.0 and m["precision"] == 1.0  # scorer keeps precision
+    res1.unpersist()
+
+
+def test_snm_delta_leg_never_pairs_old_old(spark):
+    """Incremental blocking with SNM on: every delta pair still has at
+    least one NEW side (the never-old×old property), and the delta run
+    still lands on the full-batch clustering."""
+    from blink_spark import synth
+    from blink_spark.operators import blocking, incremental
+    from blink_spark.pipeline import ERPipeline, PipelineConfig
+
+    t, _ = synth.transcripts_df(spark, synth.SynthConfig(n_conversations=60, seed=13))
+    cfg = PipelineConfig(blocking=blocking.BlockingConfig(snm_window=3))
+    old_t = t.where(F.abs(F.hash("conv_id")) % 2 == 0)
+    new_t = t.where(F.abs(F.hash("conv_id")) % 2 == 1)
+    phase1 = ERPipeline(cfg).run(spark, old_t, compute_metrics=False)
+    res = incremental.incremental_update(new_t, phase1.features, phase1.assignments, cfg)
+    new_ids = {r["conv_id"] for r in res.features_new.select("conv_id").collect()}
+    for r in res.pairs.collect():
+        assert r["conv_a"] in new_ids or r["conv_b"] in new_ids, (r["conv_a"], r["conv_b"])
+    # the merged assignment equals a full-batch SNM-on run (clean-margin
+    # corpus: the extra old×old SNM pairs a full batch sees are all
+    # non-matches here, so clusters coincide)
+    full = ERPipeline(cfg).run(spark, t, compute_metrics=False)
+    inc_map = {r["conv_id"]: r["cluster_id"] for r in res.assignments.collect()}
+    full_map = {r["conv_id"]: r["cluster_id"] for r in full.assignments.collect()}
+    assert inc_map == full_map
+    phase1.unpersist()
+    res.unpersist()
+    full.unpersist()
+
+
 def test_snm_multikey_union_is_exact_and_counts_passes(spark):
     """Multi-pass output == canonicalized union of the per-pass pair sets,
     with n_passes counting how many passes emitted the pair."""
