@@ -575,6 +575,60 @@ def test_real_decode_video_feature_vector():
     assert np.allclose(v, v[0])  # constant frames → uniform unit vector
 
 
+def test_decode_video_frames_fallbacks_and_padding():
+    """Container robustness: fps falls back to avih's usec-per-frame when
+    the vids strh is absent, and the chunk walker honors RIFF word
+    alignment (odd-size chunks are followed by a pad byte)."""
+    import struct as _s
+
+    px = np.full((8, 8, 3), 100, dtype=np.uint8)
+    payload = multimodal.avi_mjpeg_bytes([px, px, px], fps=3, quant=1)
+
+    # corrupt the strh fcc so the walker never sees a vids header: the fps
+    # must come from avih's dwMicroSecPerFrame (1e6/3 rounded -> ~3.000003)
+    i = payload.find(b"strh")
+    no_strh = payload[:i] + b"strX" + payload[i + 4 :]
+    frames, fps = multimodal.decode_video_frames(no_strh)
+    assert len(frames) == 3
+    assert fps == pytest.approx(3.0, abs=1e-4)
+
+    # splice an ODD-size junk chunk before the movi list: the walker must
+    # skip its pad byte or every subsequent fcc read is off by one
+    junk = b"JUNK" + _s.pack("<I", 5) + b"abcde" + b"\x00"
+    movi_at = payload.find(b"LIST", 12)
+    # find the movi LIST specifically (the first LIST is hdrl)
+    while payload[movi_at + 8 : movi_at + 12] != b"movi":
+        movi_at = payload.find(b"LIST", movi_at + 4)
+    padded = payload[:movi_at] + junk + payload[movi_at:]
+    padded = padded[:4] + _s.pack("<I", len(padded) - 8) + padded[8:]  # fix RIFF size
+    frames2, fps2 = multimodal.decode_video_frames(padded)
+    assert len(frames2) == 3 and fps2 == pytest.approx(3.0)
+
+
+def test_video_codec_roundtrip_property():
+    """Property-style sweep: random frame counts / dims / fps / content all
+    round-trip through AVI-MJPEG within JPEG quantization error."""
+    rng = np.random.RandomState(77)
+    for _ in range(6):
+        n_frames = int(rng.randint(1, 6))
+        h, w = int(rng.randint(8, 25)), int(rng.randint(8, 25))
+        fps = int(rng.randint(1, 31))
+        # smooth content (JPEG is near-lossless at quant=1 on smooth data)
+        base = np.linspace(0, 200, w)[None, :, None] + np.linspace(0, 40, h)[:, None, None]
+        frames = [
+            np.clip(base + 5 * fi, 0, 255).astype(np.uint8).repeat(3, axis=2)[:, :, :3]
+            for fi in range(n_frames)
+        ]
+        got, got_fps = multimodal.decode_video_frames(
+            multimodal.avi_mjpeg_bytes(frames, fps=fps, quant=1)
+        )
+        assert len(got) == n_frames
+        assert got_fps == pytest.approx(fps)
+        for want, dec in zip(frames, got):
+            assert dec.shape == want.shape
+            assert int(np.max(np.abs(dec.astype(int) - want.astype(int)))) <= 2
+
+
 def test_synth_video_payloads_split_real_and_stub(spark):
     """Two of three synthetic video rows are valid MJPEG-in-AVI (decode for
     real, per-frame features flow); the third is the scoped inter-frame

@@ -207,6 +207,28 @@ def test_snm_rejects_degenerate_window(spark):
             blocking.sorted_neighborhood_pairs(d, ["lang"], id_col="doc_id", window=w)
 
 
+def test_global_rank_and_snm_degenerate_inputs(spark):
+    """Empty and single-row inputs flow through the range-exchange rank and
+    the windowed pairing without special-casing (an empty offsets table and
+    an empty sequence explode must both yield empty, not error)."""
+    from blink_spark.operators import blocking
+
+    empty = spark.createDataFrame([], "doc_id long, lang string, text string")
+    assert blocking.global_rank(empty.select("doc_id", "lang"), ["lang", "doc_id"]).collect() == []
+    assert (
+        blocking.sorted_neighborhood_pairs(empty, ["lang"], id_col="doc_id", window=3).collect()
+        == []
+    )
+    one = spark.createDataFrame([(1, "en", "x")], "doc_id long, lang string, text string")
+    assert blocking.sorted_neighborhood_pairs(one, ["lang"], id_col="doc_id", window=3).collect() == []
+    assert (
+        blocking.sorted_neighborhood_pairs_multikey(
+            one, [["lang"], ["text"]], id_col="doc_id", window=3
+        ).collect()
+        == []
+    )
+
+
 def test_snm_modality_recovers_low_jaccard_twin(spark):
     """Seed 13 is the one corpus in the 24-seed sweep where hash blocking
     misses a gold pair (a heavily corrupted twin at trigram Jaccard 0.203 —
