@@ -46,6 +46,10 @@ def parse_args(argv):
     p.add_argument("--max-block-size", type=int, default=None, help="override blocking skew cap")
     p.add_argument("--overflow", choices=["drop", "split"], default=None,
                    help="hot-block policy: drop the key or salt it into bounded sub-blocks")
+    p.add_argument("--snm-window", type=int, default=None,
+                   help="enable the sorted-neighborhood blocking modality with this "
+                        "window (>=2): catches low-Jaccard twins below the hash "
+                        "modalities' sensitivity floor at +((window-1)*n) pairs")
     return p.parse_args(argv)
 
 
@@ -90,6 +94,8 @@ def main(argv=None) -> int:
         cfg.blocking.max_block_size = args.max_block_size
     if args.overflow is not None:
         cfg.blocking.overflow = args.overflow
+    if args.snm_window is not None:
+        cfg.blocking.snm_window = args.snm_window
 
     mgr = CheckpointManager(spark, args.checkpoint_dir, run_id=args.run_id)
     res = ERPipeline(cfg).run(spark, transcripts, checkpoints=mgr)
