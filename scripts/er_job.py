@@ -50,6 +50,14 @@ def parse_args(argv):
                    help="enable the sorted-neighborhood blocking modality with this "
                         "window (>=2): catches low-Jaccard twins below the hash "
                         "modalities' sensitivity floor at +((window-1)*n) pairs")
+    p.add_argument("--stream", action="store_true",
+                   help="treat --input as a STREAMING source dir: micro-batches of "
+                        "new transcripts run delta incremental ER against durable "
+                        "state under --state-dir (availableNow trigger: drain what "
+                        "is there, then exit; rerun as files arrive or swap in a "
+                        "continuous trigger)")
+    p.add_argument("--state-dir",
+                   help="durable feature/assignment state root for --stream")
     return p.parse_args(argv)
 
 
@@ -96,6 +104,33 @@ def main(argv=None) -> int:
         cfg.blocking.overflow = args.overflow
     if args.snm_window is not None:
         cfg.blocking.snm_window = args.snm_window
+
+    if args.stream:
+        # streaming incremental ER: each micro-batch of arriving transcripts
+        # is a delta update (new×(new∪old) blocking, star-edge CC merge)
+        # against durable state; the final assignments table is the output.
+        if not args.input or not args.state_dir:
+            raise SystemExit("--stream requires --input (source dir) and --state-dir")
+        from blink_spark.operators import incremental
+
+        schema = spark.read.parquet(args.input).schema
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(args.input)
+        )
+        sq = incremental.incremental_er_stream(
+            stream, state_dir=args.state_dir,
+            checkpoint_dir=f"{args.checkpoint_dir}/{args.run_id}/stream", config=cfg,
+        )
+        sq.awaitTermination()
+        assignments = spark.read.parquet(f"{args.state_dir}/assignments/latest")
+        assignments.write.mode("overwrite").parquet(args.output)
+        out = {"mode": "stream", "output": args.output}
+        if labels is not None:
+            out["pairwise_f1"] = metrics.pairwise_f1(assignments, labels)
+        out["cluster_stats"] = metrics.cluster_stats(assignments)
+        print("RESULT " + json.dumps(out), flush=True)
+        spark.stop()
+        return 0
 
     mgr = CheckpointManager(spark, args.checkpoint_dir, run_id=args.run_id)
     res = ERPipeline(cfg).run(spark, transcripts, checkpoints=mgr)
