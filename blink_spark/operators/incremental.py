@@ -177,13 +177,39 @@ def incremental_update(
     scored = scoring.score_pairs(pairs, features_all, config.scoring, caches=caches)
     edges = scoring.match_edges(scored, config.scoring)
 
+    # CC runs on the TOUCHED subgraph only: a delta edge can change the
+    # component of exactly the clusters its endpoints belong to, so star
+    # edges are pulled in for those clusters alone and every other
+    # assignment passes through untouched. A full-batch CC would label the
+    # untouched components identically (no new member, same min-id), so
+    # this stays exact while the iterative stage's input drops from
+    # O(|corpus|) star edges per batch to O(|touched|) — the difference
+    # between a delta update and re-clustering the world at 10^12 turns.
+    delta_e = edges.select("conv_a", "conv_b")
+    endpoints = (
+        delta_e.select(F.col("conv_a").alias("conv_id"))
+        .unionByName(delta_e.select(F.col("conv_b").alias("conv_id")))
+        .distinct()
+    )
+    touched_clusters = (
+        assignments_old.join(endpoints, "conv_id", "left_semi").select("cluster_id").distinct()
+    )
+    touched_star = star_edges(
+        assignments_old.join(touched_clusters, "cluster_id", "left_semi")
+    )
     merged = clustering.connected_components(
-        edges.select("conv_a", "conv_b").unionByName(star_edges(assignments_old)),
-        max_iter=config.cc_max_iter,
+        delta_e.unionByName(touched_star), max_iter=config.cc_max_iter
     )
     all_convs = features_all.select("conv_id")
-    assignments = all_convs.join(merged, "conv_id", "left").select(
-        "conv_id", F.coalesce("cluster_id", F.col("conv_id")).alias("cluster_id")
+    assignments = (
+        all_convs.join(merged, "conv_id", "left")
+        .join(
+            assignments_old.withColumnRenamed("cluster_id", "_old_cid"), "conv_id", "left"
+        )
+        .select(
+            "conv_id",
+            F.coalesce("cluster_id", "_old_cid", F.col("conv_id")).alias("cluster_id"),
+        )
     )
     return IncrementalResult(
         features=features_all,
