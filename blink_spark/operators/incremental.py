@@ -222,6 +222,112 @@ def incremental_update(
     )
 
 
+def _hadoop_path(spark, path_str: str):
+    """(FileSystem, Path) for ``path_str`` via the JVM Hadoop FS API — the
+    same abstraction Spark itself reads/writes through, so version listing
+    and pruning work on HDFS/object stores, not just the local sandbox FS."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def list_assignment_versions(spark, state_dir: str) -> list:
+    """Committed assignment versions under ``state_dir/assignments``,
+    ascending. A version counts only if its ``_SUCCESS`` marker exists —
+    a crash mid-write leaves an incomplete ``v=<id>`` dir that readers
+    simply never see (no torn state, no repair step)."""
+    fs, root = _hadoop_path(spark, f"{state_dir}/assignments")
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("v="):
+            continue
+        try:
+            vid = int(name[2:])
+        except ValueError:
+            continue
+        ok = spark._jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+        if fs.exists(ok):
+            out.append(vid)
+    return sorted(out)
+
+
+def read_latest_assignments(spark, state_dir: str, before: int | None = None) -> DataFrame:
+    """The newest committed assignment table (optionally restricted to
+    versions ``< before`` — what a replayed batch must read so it never
+    sees its own failed attempt's output). Empty-schema frame when no
+    version exists yet."""
+    versions = list_assignment_versions(spark, state_dir)
+    if before is not None:
+        versions = [v for v in versions if v < before]
+    if not versions:
+        return spark.createDataFrame([], "conv_id string, cluster_id string")
+    return spark.read.parquet(f"{state_dir}/assignments/v={versions[-1]}")
+
+
+def process_er_batch(batch_df: DataFrame, batch_id: int, state_dir: str, config: PipelineConfig) -> None:
+    """One foreachBatch step of :func:`incremental_er_stream`, module-level
+    so tests can drive it directly (including replaying a batch_id, the
+    crash-recovery path Structured Streaming takes after a mid-batch
+    failure). Exactly-once state contract, with every read/write pair on
+    DISJOINT paths:
+
+    * features: read ``batch_id=*`` filtered to ``batch_id < current`` (a
+      replayed batch must not see its own failed attempt's feature rows —
+      without the filter the union feature table would carry every delta
+      conv twice and the refreshed assignment would emit duplicate rows),
+      write ``batch_id=<current>`` with overwrite (idempotent re-write of
+      the batch's OWN partition dir, never one it read).
+    * assignments: read the newest committed version ``v < current``
+      (``_SUCCESS``-gated), write ``v=<current>``. Versioning — rather
+      than overwriting one ``latest`` dir — matters at scale: overwrite
+      deletes the target before the job's tasks run, and when the
+      refreshed-assignment join reads the SAME dir as a sort-merge join
+      (the old side is too big to broadcast precisely when the corpus is
+      big), the tasks would read already-deleted files. Writing a new
+      version never races its own input; older versions are pruned only
+      AFTER the new one commits. Production form: an Iceberg snapshot
+      commit — this directory scheme is the same idea on a plain FS.
+    """
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    feats_schema = blocking._FEATURE_SCHEMA
+    try:
+        features_old = (
+            spark.read.option("basePath", f"{state_dir}/features")
+            .parquet(f"{state_dir}/features/batch_id=*")
+            .where(F.col("batch_id") < F.lit(batch_id))
+            .drop("batch_id")
+        )
+    except Exception:  # first batch: no feature dir yet
+        features_old = spark.createDataFrame([], feats_schema)
+    assignments_old = read_latest_assignments(spark, state_dir, before=batch_id)
+
+    res = incremental_update(batch_df, features_old, assignments_old, config)
+    res.features_new.write.mode("overwrite").parquet(
+        f"{state_dir}/features/batch_id={batch_id}"
+    )
+    res.assignments.write.mode("overwrite").parquet(f"{state_dir}/assignments/v={batch_id}")
+    res.unpersist()
+    # prune superseded versions — best-effort, strictly after the new
+    # version's _SUCCESS exists, and RETAINING the immediate predecessor:
+    # the streaming engine commits this batch to its checkpoint only after
+    # process() returns, so a crash right here replays batch_id, and that
+    # replay must still find the newest version < batch_id (deleting it
+    # would make the replay resolve against an empty/stale assignment —
+    # caught by the replay test when pruning was first written too eagerly)
+    versions = list_assignment_versions(spark, state_dir)
+    prev = max((v for v in versions if v < batch_id), default=None)
+    fs, _ = _hadoop_path(spark, f"{state_dir}/assignments")
+    for v in versions:
+        if prev is not None and v < prev:
+            fs.delete(spark._jvm.org.apache.hadoop.fs.Path(f"{state_dir}/assignments/v={v}"), True)
+
+
 def incremental_er_stream(
     transcripts_stream: DataFrame,
     state_dir: str,
@@ -231,40 +337,18 @@ def incremental_er_stream(
     """Streaming incremental ER via ``foreachBatch``.
 
     Maintains two durable state tables under ``state_dir``:
-    ``features/batch_id=<id>`` (append-per-batch; a replayed batch_id
-    overwrites its own directory — same idempotence contract as
-    :func:`blink_spark.streaming.incremental_features`) and
-    ``assignments/latest`` (full refreshed assignment, overwritten per
-    batch). Production sinks would be Iceberg tables with MERGE / atomic
-    replace; the directory layout is the sandbox stand-in, and a crash
-    mid-overwrite of ``assignments/latest`` requires replaying the batch
-    (the checkpoint makes that automatic).
+    ``features/batch_id=<id>`` (append-per-batch, replay-idempotent) and
+    ``assignments/v=<batch_id>`` (full refreshed assignment, one committed
+    version per batch, superseded versions pruned after commit — see
+    :func:`process_er_batch` for why versioning beats overwriting a single
+    ``latest`` dir). Read the result with :func:`read_latest_assignments`.
+    Production sinks would be Iceberg tables with MERGE / snapshot commits;
+    the ``_SUCCESS``-gated version directories are the plain-FS analog.
     """
-    from pyspark.sql import SparkSession
-
     config = config or PipelineConfig()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = SparkSession.getActiveSession()
-        feats_schema = blocking._FEATURE_SCHEMA
-        try:
-            features_old = spark.read.option("basePath", f"{state_dir}/features").parquet(
-                f"{state_dir}/features/batch_id=*"
-            ).drop("batch_id")
-            assignments_old = spark.read.parquet(f"{state_dir}/assignments/latest")
-        except Exception:  # first batch: empty state
-            features_old = spark.createDataFrame([], feats_schema)
-            assignments_old = spark.createDataFrame([], "conv_id string, cluster_id string")
-
-        res = incremental_update(batch_df, features_old, assignments_old, config)
-        # idempotent per-batch feature append + full assignment refresh
-        res.features_new.write.mode("overwrite").parquet(
-            f"{state_dir}/features/batch_id={batch_id}"
-        )
-        res.assignments.write.mode("overwrite").parquet(f"{state_dir}/assignments/latest")
-        res.unpersist()
+        process_er_batch(batch_df, int(batch_id), state_dir, config)
 
     return (
         transcripts_stream.writeStream.foreachBatch(process)

@@ -53,6 +53,15 @@ def _fixture_path(spark: SparkSession, sf_dir: str, name: str) -> str:
     return f"/tmp/blink_fixtures/{app}/{_os.path.basename(sf_dir.rstrip('/'))}_{name}"
 
 
+# Streaming entries additionally key their scratch dir by an invocation
+# counter: their source dirs and STATEFUL checkpoints must not be shared
+# across two calls in one session (a reused availableNow checkpoint would
+# treat the second call's rewritten source files as NEW micro-batches and
+# double-process). Batch sink entries don't need this — mode("overwrite")
+# already makes them call-idempotent.
+_STREAM_CALL = __import__("itertools").count()
+
+
 def _finalize(df: DataFrame, caches: list) -> DataFrame:
     """Materialize a small result via ``localCheckpoint`` and release the
     stage caches it depended on.
@@ -2182,12 +2191,13 @@ def er_streaming_clusters(spark, sf_dir):
     through `incremental.incremental_er_stream` (file source,
     ``maxFilesPerTrigger=1`` → 3 real micro-batches; ``foreachBatch`` runs
     a delta `incremental_update` per batch against durable state that
-    starts EMPTY, with idempotent per-batch feature appends and an
-    assignment refresh). The final assignments/latest table must equal the
-    one-shot batch clustering — micro-batch ≡ incremental ≡ batch."""
+    starts EMPTY, with idempotent per-batch feature appends and a
+    versioned assignment refresh). The final committed assignment version
+    must equal the one-shot batch clustering — micro-batch ≡ incremental
+    ≡ batch."""
     from blink_spark.operators import incremental
 
-    base = _fixture_path(spark, sf_dir, "er_stream")
+    base = _fixture_path(spark, sf_dir, f"er_stream_call{next(_STREAM_CALL)}")
     src, state, ckpt = f"{base}/src", f"{base}/state", f"{base}/ckpt"
 
     docs = _t(spark, sf_dir, "documents")
@@ -2207,7 +2217,7 @@ def er_streaming_clusters(spark, sf_dir):
     )
     sq = incremental.incremental_er_stream(stream, state_dir=state, checkpoint_dir=ckpt)
     sq.awaitTermination()
-    return spark.read.parquet(f"{state}/assignments/latest").select(
+    return incremental.read_latest_assignments(spark, state).select(
         F.col("conv_id").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
     )
@@ -2469,7 +2479,7 @@ def t1_streaming_agg(spark, sf_dir):
     the same discipline as streaming.incremental_features). The sink table
     is read back and returned, so the driver compares a stream-produced
     result against the batch SQL oracle."""
-    base = _fixture_path(spark, sf_dir, "t1_stream")
+    base = _fixture_path(spark, sf_dir, f"t1_stream_call{next(_STREAM_CALL)}")
     src, sink, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
     e = _t(spark, sf_dir, "events")
     e.repartition(4).write.mode("overwrite").parquet(src)

@@ -122,7 +122,7 @@ def main(argv=None) -> int:
             checkpoint_dir=f"{args.checkpoint_dir}/{args.run_id}/stream", config=cfg,
         )
         sq.awaitTermination()
-        assignments = spark.read.parquet(f"{args.state_dir}/assignments/latest")
+        assignments = incremental.read_latest_assignments(spark, args.state_dir)
         assignments.write.mode("overwrite").parquet(args.output)
         out = {"mode": "stream", "output": args.output}
         if labels is not None:

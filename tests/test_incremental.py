@@ -118,7 +118,43 @@ def test_streaming_incremental_er(spark, corpus, tmp_path):
     )
     q.awaitTermination(300)
 
-    got = spark.read.parquet(str(tmp_path / "state" / "assignments" / "latest"))
+    got = incremental.read_latest_assignments(spark, str(tmp_path / "state"))
     full = ERPipeline().run(spark, transcripts, compute_metrics=False)
     assert _rows(got) == _rows(full.assignments)
+    full.unpersist()
+
+
+def test_er_batch_replay_idempotent(spark, corpus, tmp_path):
+    """Crash-recovery path: replaying a batch_id (the foreachBatch retry
+    Structured Streaming performs after a mid-batch failure) must not see
+    its own failed attempt's output — the replayed batch reads only
+    features with batch_id < its own and only assignment versions < its
+    own, so the result is duplicate-free and identical to the first
+    attempt. Pruning keeps the immediate predecessor version (the one a
+    replay needs — the engine checkpoint-commits a batch only after
+    process() returns) and deletes everything older."""
+    from blink_spark.pipeline import PipelineConfig
+
+    transcripts, _ = corpus
+    thirds = [transcripts.where(F.crc32("conv_id") % 3 == i) for i in range(3)]
+    state = str(tmp_path / "state")
+    cfg = PipelineConfig()
+
+    for i, part in enumerate(thirds):
+        incremental.process_er_batch(part, i, state, cfg)
+    # v=0 pruned after v=2 committed; v=1 retained for a batch-2 replay
+    assert incremental.list_assignment_versions(spark, state) == [1, 2]
+    first = _rows(incremental.read_latest_assignments(spark, state))
+
+    # the retry: batch 2 runs again against state that already contains
+    # batch 2's own feature partition and assignment version
+    incremental.process_er_batch(thirds[2], 2, state, cfg)
+    replayed = incremental.read_latest_assignments(spark, state)
+    assert replayed.groupBy("conv_id").count().where("count > 1").count() == 0
+    assert _rows(replayed) == first
+    assert incremental.list_assignment_versions(spark, state) == [1, 2]
+
+    # and the full streamed state equals the one-shot batch clustering
+    full = ERPipeline().run(spark, transcripts, compute_metrics=False)
+    assert _rows(replayed) == _rows(full.assignments)
     full.unpersist()
