@@ -57,6 +57,56 @@ def brute_force_topk(
     )
 
 
+def chunked_topk_merge(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_chunks: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """§2.6 memory-adaptive chunked top-k merge (``elq/main_dense.py:306-334``
+    splits the full-corpus score matrix into chunks, takes top-k WITHIN each
+    chunk, concatenates the per-chunk winners, and re-top-ks them) — the
+    pattern that lets a scorer whose full score matrix cannot fit in memory
+    run chunk-at-a-time.
+
+    Spark-first shape: the candidate side gets a deterministic hash chunk
+    id; stage 1 is a windowed top-k PER (query, chunk) — Catalyst executes
+    the rank filter as a WindowGroupLimit partial per partition, so at most
+    ``k`` survivors per (query, chunk) leave any task — and stage 2 re-ranks
+    the ≤ ``n_chunks·k`` winners per query. With ties broken by ascending
+    neighbor id at BOTH stages the merge is lossless: the output equals the
+    one-shot global top-k exactly (asserted vs :func:`brute_force_topk` in
+    tests, and value-checked against the global-top-k SQL oracle by the
+    ``tk_chunked_topk_merge`` registry row).
+    """
+    corpus = embeddings.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).cast("array<double>").alias("vn"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks)).alias("chunk_id"),
+    )
+    q = (
+        embeddings.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("vq"))
+    )
+    scored = (
+        q.crossJoin(corpus)
+        .where(F.col("query_id") != F.col("nbr_id"))
+        .select(
+            "query_id", "chunk_id", "nbr_id", _cosine_cols(F.col("vq"), F.col("vn")).alias("cosine")
+        )
+    )
+    w_chunk = Window.partitionBy("query_id", "chunk_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    winners = scored.withColumn("crank", F.row_number().over(w_chunk)).where(
+        F.col("crank") <= k
+    )
+    w_global = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        winners.withColumn("rank", F.row_number().over(w_global))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
 _BUCKET_SCHEMA = T.StructType(
     [
         T.StructField("vec_id", T.LongType()),

@@ -378,6 +378,31 @@ def p1_normalize(spark, sf_dir):
 
 
 @q(
+    "p2_label_in_kb_filter",
+    """SELECT doc_id, label_id FROM (
+         SELECT doc_id, doc_id * 7 % 3000 AS label_id FROM documents)
+       WHERE label_id IN (SELECT p_partkey FROM part)""",
+)
+def p2_label_in_kb_filter(spark, sf_dir):
+    """P2 direct (previously covered by composition via so4): drop mentions
+    whose gold label has no row in the entity catalog —
+    `blink/main_dense.py:182-197` `continue`s past samples whose label_id
+    is missing from the loaded KB dicts. Mentions = documents with a
+    derived gold label; catalog = the part dimension's key set; the
+    membership test is ONE broadcast left_semi join (no row is ever
+    widened with catalog columns, and the catalog ships once per executor
+    like the reference's in-memory title2id dict)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        # the *7 spreads derived labels past the catalog's key range at
+        # every sf, so the membership filter actually rejects rows at the
+        # driver's check scale instead of passing everything through
+        "doc_id", (F.col("doc_id") * 7 % 3000).alias("label_id")
+    )
+    kb = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("label_id"))
+    return docs.join(F.broadcast(kb), "label_id", "left_semi").select("doc_id", "label_id")
+
+
+@q(
     "p3_min_token_filter",
     f"""SELECT doc_id, n_tokens FROM (
           SELECT doc_id,
@@ -1893,6 +1918,31 @@ def sim_bruteforce_topk(spark, sf_dir):
     return out.select("query_id", "nbr_id", F.round("cosine", 4).alias("cosine"), "rank")
 
 
+@q(
+    "tk_chunked_topk_merge",
+    """SELECT query_id, nbr_id, ROUND(cosine, 4) AS cosine, rank FROM (
+         SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+                list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])) AS cosine,
+                row_number() OVER (PARTITION BY a.vec_id
+                                   ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                                   CAST(b.embedding AS DOUBLE[])) DESC,
+                                            b.vec_id) AS rank
+         FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+       WHERE rank <= 3""",
+)
+def tk_chunked_topk_merge(spark, sf_dir):
+    """§2.6 direct (previously covered by composition): memory-adaptive
+    chunked top-k merge — `elq/main_dense.py:306-334` splits the candidate
+    score matrix into chunks, takes top-k within each chunk, and re-top-ks
+    the concatenated winners. The Spark plan (hash chunk id → per-(query,
+    chunk) WindowGroupLimit → global re-rank of ≤ n_chunks·k winners) must
+    be LOSSLESS, so the oracle is the one-shot GLOBAL top-k SQL — a
+    two-phase merge that dropped a true neighbor would hash-mismatch."""
+    out = similarity.chunked_topk_merge(_t(spark, sf_dir, "embeddings"), k=3, n_chunks=4)
+    return out.select("query_id", "nbr_id", F.round("cosine", 4).alias("cosine"), "rank")
+
+
 @q("sim_lsh_topk", CONST_ORACLES.get("sim_lsh_topk"))
 def sim_lsh_topk(spark, sf_dir):
     """Approximate LSH-bucketed top-k. Upgraded r4 from rows-only to
@@ -2523,6 +2573,8 @@ _DRIVER_WINDOW = [
     # -- new in round 5 (never driver-checked) --------------------------------
     "er_snm_multikey_pairs",
     "er_streaming_clusters",
+    "p2_label_in_kb_filter",
+    "tk_chunked_topk_merge",
     # -- missed r4 by the off-by-one (documented as in-window, was 51st) ------
     "u10_joint_score_threshold",
     # -- r4 first-timers: second driver row -----------------------------------
@@ -2577,13 +2629,15 @@ _DRIVER_WINDOW = [
     "j5_ranked_candidates",
     "a7_cumulative_histogram",
     "t2_sessionization",
-    "w4_greedy_overlap_prune",
-    "so2_partition_union",
 ]
 
 # Rotated out for r5 (every entry below is double-green across r1–r4 with
-# code and oracle unchanged; the r4 window greened the whole block).
+# code and oracle unchanged; the r4 window greened the whole block —
+# w4/so2 displaced late-r5 by the two new direct P2/§2.6 entries, which
+# per the rotation policy go first as never-checked).
 _DRIVER_REST = [
+    "w4_greedy_overlap_prune",
+    "so2_partition_union",
     "er_flagship_clusters",
     "er_candidate_pairs",
     "er_f1_metrics",

@@ -98,6 +98,22 @@ def test_brute_force_topk_shape(spark, embeddings):
         assert all(x["nbr_id"] != q for x in rs)
 
 
+def test_chunked_topk_merge_is_lossless(spark, embeddings):
+    """§2.6: per-chunk top-k then re-top-k must equal the one-shot global
+    top-k exactly (same tie-break at both stages), at more than one chunk
+    count and independent of input partitioning."""
+    exact = sorted(map(tuple, similarity.brute_force_topk(embeddings, k=3).collect()))
+    for n_chunks in (1, 4, 7):
+        got = sorted(
+            map(tuple, similarity.chunked_topk_merge(embeddings, k=3, n_chunks=n_chunks).collect())
+        )
+        assert got == exact, f"n_chunks={n_chunks}"
+    repart = sorted(
+        map(tuple, similarity.chunked_topk_merge(embeddings.repartition(13), k=3, n_chunks=4).collect())
+    )
+    assert repart == exact
+
+
 def test_lsh_topk_recall_vs_bruteforce(spark, embeddings):
     """ANN recall@3 vs the exact oracle on sf0.001 — near-random vectors
     (top-3 cosine ≈ 0.35, θ ≈ 70°) are LSH's hostile regime, so buckets are

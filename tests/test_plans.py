@@ -38,6 +38,7 @@ def _guarded_queries(spark):
             "j4_token_blocking_join",   # exploded grams + hot-gram cap
             "sim_lsh_topk",             # banded buckets + windowed top-k
             "dedup_simhash_pairs",      # band join + JVM bit_count verify
+            "p2_label_in_kb_filter",    # broadcast semi join, never widened
         )
     }
 
