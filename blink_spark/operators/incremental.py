@@ -90,8 +90,22 @@ def delta_candidate_pairs(
     a = kept.where("is_new").select(
         "modality", "key", F.col("conv_id").alias("conv_n"), F.col("sig").alias("sig_n")
     )
-    b = kept.select(
-        "modality", "key", F.col("conv_id").alias("conv_o"), F.col("sig").alias("sig_o"), "is_new"
+    # prune the (old ∪ new) join side to keys the DELTA actually carries
+    # BEFORE the pair join shuffles it: only keys present on the new side
+    # can produce a pair, yet without the prune the equi-join would shuffle
+    # every old key row — at 10^12 turns with a micro-batch delta, almost
+    # all of the shuffle for rows that match nothing. The broadcast semi on
+    # the delta's distinct key set rides the same smallness assumption the
+    # SNM leg's broadcast of new_ids already makes (a micro-batch is small
+    # by definition; ~tens of band keys per delta conv ≈ MBs). Pruning
+    # AFTER cap_blocks keeps the cap census batch-identical, and pruning
+    # by the UNCAPPED new key set is a superset of `a`'s keys — lossless.
+    new_key_set = keys_new.select("modality", "key").dropDuplicates()
+    b = (
+        kept.join(F.broadcast(new_key_set), ["modality", "key"], "left_semi")
+        .select(
+            "modality", "key", F.col("conv_id").alias("conv_o"), F.col("sig").alias("sig_o"), "is_new"
+        )
     )
     joined = a.join(b, on=["modality", "key"]).where(
         # new×new once (ordered); new×old in every orientation — the
