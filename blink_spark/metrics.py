@@ -66,6 +66,65 @@ def blocking_recall(pairs: DataFrame, labeled_pairs: DataFrame) -> dict:
     return {"blocking_recall": hit / n_gold if n_gold else 1.0, "gold_pairs": n_gold, "blocked_gold_pairs": hit}
 
 
+def blocking_quality(
+    candidate_pairs: DataFrame,
+    gold_pairs: DataFrame,
+    n_records: int,
+    a_col: str = "conv_a",
+    b_col: str = "conv_b",
+) -> DataFrame:
+    """The standard blocking-evaluation trio (Christen, *Data Matching*,
+    2012, ch. 7) as ONE single-row DataFrame:
+
+    * ``reduction_ratio`` = 1 − |C| / (n·(n−1)/2) — how much of the
+      quadratic comparison space blocking removed (the scale win; at
+      10^12 records anything below ~0.9999 is a non-starter);
+    * ``pairs_completeness`` = |C ∩ G| / |G| — blocking recall, the
+      quantity that upper-bounds final F1 (same role as
+      :func:`blocking_recall`, which reports it as a dict);
+    * ``pairs_quality`` = |C ∩ G| / |C| — precision of the candidate set,
+      i.e. how much stage-2 scorer work blocking wastes.
+
+    ``candidate_pairs`` and ``gold_pairs`` are pair tables with canonical
+    ``a < b`` ids in ``(a_col, b_col)``. The metric itself is three count
+    aggregations + one semi join — scale-safe no matter how the gold table
+    was produced (at production scale gold is a labeled SAMPLE; an
+    exhaustive gold sweep is only feasible on eval corpora). Degenerate
+    inputs follow the metric conventions: empty gold ⇒ completeness 1.0,
+    empty candidates ⇒ quality 1.0.
+    """
+    cand = candidate_pairs.select(
+        F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
+    ).dropDuplicates()
+    gold = gold_pairs.select(
+        F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
+    ).dropDuplicates()
+    tp = gold.join(cand, ["_a", "_b"], "left_semi")
+    total_pairs = n_records * (n_records - 1) // 2
+    row = (
+        cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        .crossJoin(gold.agg(F.count(F.lit(1)).alias("gold_pairs")))
+        .crossJoin(tp.agg(F.count(F.lit(1)).alias("tp")))
+    )
+    return row.select(
+        F.col("n_candidates"),
+        F.col("gold_pairs"),
+        F.col("tp"),
+        F.when(
+            F.lit(total_pairs) > 0,
+            F.lit(1.0) - F.col("n_candidates") / F.lit(total_pairs).cast("double"),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("reduction_ratio"),
+        F.when(F.col("gold_pairs") > 0, F.col("tp") / F.col("gold_pairs"))
+        .otherwise(F.lit(1.0))
+        .alias("pairs_completeness"),
+        F.when(F.col("n_candidates") > 0, F.col("tp") / F.col("n_candidates"))
+        .otherwise(F.lit(1.0))
+        .alias("pairs_quality"),
+    )
+
+
 def cluster_stats(assignments: DataFrame) -> dict:
     """Size distribution of predicted clusters (skew visibility)."""
     sizes = assignments.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))

@@ -2077,6 +2077,77 @@ def er_snm_multikey_pairs(spark, sf_dir):
     )
 
 
+@q(
+    "er_blocking_quality",
+    f"""WITH g AS (SELECT doc_id, {_GRAMS_SQL} AS g
+                  FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)),
+        gold AS (
+          SELECT a.doc_id AS _a, b.doc_id AS _b
+          FROM g a JOIN g b ON a.doc_id < b.doc_id
+          WHERE CASE WHEN len(list_distinct(a.g || b.g)) = 0 THEN 1.0
+                     ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                          / len(list_distinct(a.g || b.g)) END >= 0.5),
+        ranked AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (
+                   ORDER BY lang,
+                            substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, 24),
+                            doc_id) AS rn
+          FROM documents),
+        cand AS (
+          SELECT LEAST(a.doc_id, b.doc_id) AS _a, GREATEST(a.doc_id, b.doc_id) AS _b
+          FROM ranked a JOIN ranked b ON b.rn > a.rn AND b.rn <= a.rn + 4),
+        c AS (SELECT COUNT(*) AS n_candidates FROM cand),
+        gg AS (SELECT COUNT(*) AS gold_pairs FROM gold),
+        t AS (SELECT COUNT(*) AS tp FROM gold
+              WHERE EXISTS (SELECT 1 FROM cand
+                            WHERE cand._a = gold._a AND cand._b = gold._b)),
+        n AS (SELECT COUNT(*) AS n_records FROM documents)
+      SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+             CAST(gold_pairs AS BIGINT) AS gold_pairs,
+             CAST(tp AS BIGINT) AS tp,
+             CASE WHEN n_records > 1
+                  THEN 1.0 - CAST(n_candidates AS DOUBLE)
+                             / CAST(n_records * (n_records - 1) // 2 AS DOUBLE)
+                  ELSE 1.0 END AS reduction_ratio,
+             CASE WHEN gold_pairs > 0
+                  THEN CAST(tp AS DOUBLE) / gold_pairs ELSE 1.0 END AS pairs_completeness,
+             CASE WHEN n_candidates > 0
+                  THEN CAST(tp AS DOUBLE) / n_candidates ELSE 1.0 END AS pairs_quality
+      FROM c, gg, t, n""",
+)
+def er_blocking_quality(spark, sf_dir):
+    """LATE r5 — the standard blocking-evaluation trio (Christen, *Data
+    Matching* 2012, ch. 7) as a driver-checkable row: reduction ratio /
+    pairs completeness / pairs quality of the SNM window-5 candidate set
+    against an EXACT trigram-Jaccard ≥ 0.5 gold sweep over ``documents``.
+    The gold side is a brute-force all-pairs leg — feasible only at eval
+    sf, the same labeled-oracle convention as ``dedup_embedding_neardup``
+    and ``sim_bruteforce_topk``; the metric itself
+    (:func:`blink_spark.metrics.blocking_quality`) is three counts + one
+    semi join and scale-safe. Cross-engine: Spark's ``global_rank`` SNM
+    plan + JVM set-algebra Jaccard vs DuckDB's ROW_NUMBER range self-join
+    + list algebra."""
+    from blink_spark import metrics
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    ids = d.select("doc_id")
+    all_pairs = ids.select(F.col("doc_id").alias("doc_a")).join(
+        ids.select(F.col("doc_id").alias("doc_b")), F.col("doc_a") < F.col("doc_b")
+    )
+    gold = dedup.ngram_jaccard_pairs(d, all_pairs, threshold=0.5).select(
+        F.col("doc_a").alias("conv_a"), F.col("doc_b").alias("conv_b")
+    )
+    key = F.substring(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")), 1, 24)
+    cand = blocking.sorted_neighborhood_pairs(
+        d, [F.col("lang"), key], id_col="doc_id", window=5
+    ).select(
+        F.least("id_a", "id_b").alias("conv_a"), F.greatest("id_a", "id_b").alias("conv_b")
+    )
+    return metrics.blocking_quality(cand, gold, n)
+
+
 @q("er_candidate_pairs", CONST_ORACLES.get("er_candidate_pairs"))
 def er_candidate_pairs(spark, sf_dir):
     """Stage-1 blocking output: candidate pairs for the synthetic corpus.
@@ -2636,6 +2707,7 @@ _DRIVER_WINDOW = [
 # w4/so2 displaced late-r5 by the two new direct P2/§2.6 entries, which
 # per the rotation policy go first as never-checked).
 _DRIVER_REST = [
+    "er_blocking_quality",  # LATE r5, never driver-checked; next rotation's first pick
     "w4_greedy_overlap_prune",
     "so2_partition_union",
     "er_flagship_clusters",

@@ -33,6 +33,39 @@ def test_blocking_recall_floor(spark, corpus, result):
     assert br["blocking_recall"] >= 0.90, br
 
 
+def test_blocking_quality_known_values(spark):
+    """blocking_quality (Christen trio) on a hand-computed fixture:
+    5 records → 10 possible pairs; 3 candidates, 2 gold, 1 true positive
+    ⇒ RR = 1 − 3/10 = 0.7, PC = 1/2, PQ = 1/3."""
+    cand = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("d", "e")], "conv_a string, conv_b string"
+    )
+    gold = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "conv_a string, conv_b string"
+    )
+    row = M.blocking_quality(cand, gold, n_records=5).collect()[0]
+    assert row["n_candidates"] == 3 and row["gold_pairs"] == 2 and row["tp"] == 1
+    assert abs(row["reduction_ratio"] - 0.7) < 1e-12
+    assert abs(row["pairs_completeness"] - 0.5) < 1e-12
+    assert abs(row["pairs_quality"] - 1 / 3) < 1e-12
+
+
+def test_blocking_quality_degenerate(spark):
+    """Empty gold ⇒ completeness 1.0; empty candidates ⇒ quality 1.0 and
+    reduction ratio 1.0 — the metric conventions, not division errors.
+    Duplicate input pairs are counted once."""
+    empty = spark.createDataFrame([], "conv_a string, conv_b string")
+    cand = spark.createDataFrame(
+        [("a", "b"), ("a", "b")], "conv_a string, conv_b string"
+    )
+    r1 = M.blocking_quality(cand, empty, n_records=3).collect()[0]
+    assert r1["n_candidates"] == 1  # deduped
+    assert r1["pairs_completeness"] == 1.0 and r1["pairs_quality"] == 0.0
+    r2 = M.blocking_quality(empty, cand, n_records=3).collect()[0]
+    assert r2["pairs_quality"] == 1.0 and r2["pairs_completeness"] == 0.0
+    assert r2["reduction_ratio"] == 1.0
+
+
 def test_per_turn_text_equality_invariant(spark, corpus):
     """The pipeline never mutates turn text: re-reading the source under
     stable (conv_id, turn_idx) ordering yields the original rows exactly."""
