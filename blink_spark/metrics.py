@@ -125,6 +125,60 @@ def blocking_quality(
     )
 
 
+def b_cubed(pred: DataFrame, gold: DataFrame, id_col: str = "conv_id") -> DataFrame:
+    """B³ (B-cubed) precision / recall / F1 (Bagga & Baldwin, 1998) — the
+    cluster-level complement to :func:`pairwise_f1`: pairwise F1 over-weights
+    large clusters (a cluster of size s contributes s·(s−1)/2 pairs), B³
+    averages per RECORD, so singleton-heavy corpora aren't drowned out.
+
+    Per record r: precision(r) = |pred(r) ∩ gold(r)| / |pred(r)|,
+    recall(r) = |pred(r) ∩ gold(r)| / |gold(r)|, where pred(r)/gold(r) are
+    the record's predicted and gold clusters; B³ P/R are the means over
+    records, F1 their harmonic mean.
+
+    Scale shape — NO per-record loop: every record in the same
+    (pred_cluster, gold_cluster) intersection cell has identical
+    precision/recall contribution, so the whole metric is one groupBy over
+    the cells plus two size joins:
+    ``Σ_cells c² / size_pred`` (precision numerator) and
+    ``Σ_cells c² / size_gold`` (recall numerator), divided by N. Records
+    missing from either table count as singletons (cluster = self), the
+    same convention as :func:`pairwise_confusion`.
+
+    Returns one row: (n_records, b3_precision, b3_recall, b3_f1).
+    """
+    p = pred.select(F.col(id_col).alias("_id"), F.col("cluster_id").alias("_pc"))
+    g = gold.select(F.col(id_col).alias("_id"), F.col("cluster_id").alias("_gc"))
+    both = (
+        p.join(g, "_id", "full")
+        .select(
+            "_id",
+            F.coalesce("_pc", F.col("_id")).alias("_pc"),
+            F.coalesce("_gc", F.col("_id")).alias("_gc"),
+        )
+    )
+    cells = both.groupBy("_pc", "_gc").agg(F.count(F.lit(1)).alias("c"))
+    psize = both.groupBy("_pc").agg(F.count(F.lit(1)).alias("np"))
+    gsize = both.groupBy("_gc").agg(F.count(F.lit(1)).alias("ng"))
+    row = (
+        cells.join(psize, "_pc")
+        .join(gsize, "_gc")
+        .agg(
+            F.sum(F.col("c")).alias("n_records"),
+            F.sum(F.col("c") * F.col("c") / F.col("np")).alias("_psum"),
+            F.sum(F.col("c") * F.col("c") / F.col("ng")).alias("_gsum"),
+        )
+    )
+    prec = F.col("_psum") / F.col("n_records")
+    rec = F.col("_gsum") / F.col("n_records")
+    return row.select(
+        F.col("n_records"),
+        prec.alias("b3_precision"),
+        rec.alias("b3_recall"),
+        (F.lit(2.0) * prec * rec / (prec + rec)).alias("b3_f1"),
+    )
+
+
 def cluster_stats(assignments: DataFrame) -> dict:
     """Size distribution of predicted clusters (skew visibility)."""
     sizes = assignments.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))

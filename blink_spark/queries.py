@@ -2148,6 +2148,88 @@ def er_blocking_quality(spark, sf_dir):
     return metrics.blocking_quality(cand, gold, n)
 
 
+@q(
+    "er_b3_metrics",
+    f"""WITH RECURSIVE
+        pred AS (SELECT doc_id, md5({_CANON_SQL.format(c='text')}) AS pc FROM documents),
+        g AS (SELECT doc_id, {_GRAMS_SQL} AS g
+              FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)),
+        p AS (
+          SELECT a.doc_id AS ai, b.doc_id AS bi
+          FROM g a JOIN g b ON a.doc_id < b.doc_id
+          WHERE CASE WHEN len(list_distinct(a.g || b.g)) = 0 THEN 1.0
+                     ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                          / len(list_distinct(a.g || b.g)) END >= 0.5),
+        e AS (SELECT ai AS a, bi AS b FROM p UNION ALL SELECT bi, ai FROM p),
+        reach(s, t) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.s, e.b FROM reach r JOIN e ON e.a = r.t),
+        gold AS (SELECT s AS doc_id, MIN(CAST(t AS VARCHAR)) AS gc
+                 FROM reach GROUP BY s),
+        bb AS (SELECT pred.doc_id, pc, gc FROM pred JOIN gold USING (doc_id)),
+        cells AS (SELECT pc, gc, COUNT(*) AS c FROM bb GROUP BY pc, gc),
+        ps AS (SELECT pc, COUNT(*) AS np FROM bb GROUP BY pc),
+        gs AS (SELECT gc, COUNT(*) AS ng FROM bb GROUP BY gc),
+        agg AS (
+          SELECT CAST(SUM(c) AS BIGINT) AS n_records,
+                 SUM(CAST(c * c AS DOUBLE) / np) AS psum,
+                 SUM(CAST(c * c AS DOUBLE) / ng) AS gsum
+          FROM cells JOIN ps USING (pc) JOIN gs USING (gc))
+      SELECT n_records,
+             ROUND(psum / n_records, 6) AS b3_precision,
+             ROUND(gsum / n_records, 6) AS b3_recall,
+             ROUND(2.0 * (psum / n_records) * (gsum / n_records)
+                   / (psum / n_records + gsum / n_records), 6) AS b3_f1
+      FROM agg""",
+)
+def er_b3_metrics(spark, sf_dir):
+    """LATE r5 — B³ precision/recall/F1 (Bagga & Baldwin '98), the
+    record-averaged cluster metric next to pairwise F1 (pairwise
+    over-weights big clusters at s·(s−1)/2 pairs each; B³ weighs every
+    record once). Scored clustering = EXACT dedup groups (canonical-text
+    hash, a deliberately stricter clustering than near-dup truth, so the
+    metrics are non-trivial: precision 1.0 — exact groups never cross a
+    near-dup boundary — and recall < 1 measuring how much of the near-dup
+    structure exact dedup misses); truth = trigram-Jaccard ≥ 0.5
+    transitive closure (the er_docs ground-truth family, here over raw
+    text). :func:`blink_spark.metrics.b_cubed` computes the metric as ONE
+    groupBy over (pred, gold) intersection cells + two size joins — no
+    per-record work; the all-pairs gold sweep is confined to this eval
+    leg, same convention as er_blocking_quality. Ratios are ROUND(6) on
+    both engines: the cell sums are float additions whose ordering Spark
+    and DuckDB don't share (repo precedent: dedup_ngram_jaccard)."""
+    from blink_spark import metrics
+    from blink_spark.operators import clustering
+
+    d = _t(spark, sf_dir, "documents")
+    pred = dedup.exact_dedup(d).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.col("canon_id").cast("string").alias("cluster_id"),
+    )
+    ids = d.select("doc_id")
+    all_pairs = ids.select(F.col("doc_id").alias("doc_a")).join(
+        ids.select(F.col("doc_id").alias("doc_b")), F.col("doc_a") < F.col("doc_b")
+    )
+    gold_edges = dedup.ngram_jaccard_pairs(d, all_pairs, threshold=0.5).select(
+        F.col("doc_a").cast("string").alias("conv_a"),
+        F.col("doc_b").cast("string").alias("conv_b"),
+    )
+    merged = clustering.connected_components(gold_edges)
+    gold = (
+        d.select(F.col("doc_id").cast("string").alias("conv_id"))
+        .join(merged, "conv_id", "left")
+        .select("conv_id", F.coalesce("cluster_id", F.col("conv_id")).alias("cluster_id"))
+    )
+    m = metrics.b_cubed(pred, gold)
+    return m.select(
+        "n_records",
+        F.round("b3_precision", 6).alias("b3_precision"),
+        F.round("b3_recall", 6).alias("b3_recall"),
+        F.round("b3_f1", 6).alias("b3_f1"),
+    )
+
+
 @q("er_candidate_pairs", CONST_ORACLES.get("er_candidate_pairs"))
 def er_candidate_pairs(spark, sf_dir):
     """Stage-1 blocking output: candidate pairs for the synthetic corpus.
@@ -2708,6 +2790,7 @@ _DRIVER_WINDOW = [
 # per the rotation policy go first as never-checked).
 _DRIVER_REST = [
     "er_blocking_quality",  # LATE r5, never driver-checked; next rotation's first pick
+    "er_b3_metrics",  # LATE r5, never driver-checked; next rotation's second pick
     "w4_greedy_overlap_prune",
     "so2_partition_union",
     "er_flagship_clusters",

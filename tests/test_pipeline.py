@@ -66,6 +66,41 @@ def test_blocking_quality_degenerate(spark):
     assert r2["reduction_ratio"] == 1.0
 
 
+def test_b_cubed_known_values(spark):
+    """B³ on a hand-computed fixture. pred = {a,b,c},{d},{e};
+    gold = {a,b},{c,d},{e}: per-record precisions (2/3, 2/3, 1/3, 1, 1)
+    → P = 11/15; recalls (1, 1, 1/2, 1/2, 1) → R = 4/5; F1 = 88/115."""
+    pred = spark.createDataFrame(
+        [("a", "X"), ("b", "X"), ("c", "X"), ("d", "d"), ("e", "e")],
+        "conv_id string, cluster_id string",
+    )
+    gold = spark.createDataFrame(
+        [("a", "Y"), ("b", "Y"), ("c", "Z"), ("d", "Z"), ("e", "e")],
+        "conv_id string, cluster_id string",
+    )
+    row = M.b_cubed(pred, gold).collect()[0]
+    assert row["n_records"] == 5
+    assert abs(row["b3_precision"] - 11 / 15) < 1e-12
+    assert abs(row["b3_recall"] - 4 / 5) < 1e-12
+    assert abs(row["b3_f1"] - 88 / 115) < 1e-12
+
+
+def test_b_cubed_identity_and_singletons(spark):
+    """pred == gold ⇒ all three metrics exactly 1.0; records absent from a
+    side are singletons (cluster = self), same convention as
+    pairwise_confusion."""
+    a = spark.createDataFrame(
+        [("a", "X"), ("b", "X"), ("c", "c")], "conv_id string, cluster_id string"
+    )
+    row = M.b_cubed(a, a).collect()[0]
+    assert (row["b3_precision"], row["b3_recall"], row["b3_f1"]) == (1.0, 1.0, 1.0)
+    # gold missing c entirely: c coalesces to a self-cluster on the gold
+    # side, which matches its pred singleton → still perfect scores
+    g = spark.createDataFrame([("a", "X"), ("b", "X")], "conv_id string, cluster_id string")
+    row2 = M.b_cubed(a, g).collect()[0]
+    assert row2["n_records"] == 3 and row2["b3_f1"] == 1.0
+
+
 def test_per_turn_text_equality_invariant(spark, corpus):
     """The pipeline never mutates turn text: re-reading the source under
     stable (conv_id, turn_idx) ordering yields the original rows exactly."""
