@@ -2718,12 +2718,14 @@ def t1_streaming_agg(spark, sf_dir):
 # place ordering is decided.
 # ---------------------------------------------------------------------------
 
-# r5 window budget: 2 new + 1 missed-r4 (u10 sat at position 51 — the r4
+# r5 window budget: 6 new + 1 missed-r4 (u10 sat at position 51 — the r4
 # list was one over budget, caught in review) + 5 r4 first-timers + 2
-# r4-upgraded pins + 4 canaries + 36 rotated back in = 50. The two lists
+# r4-upgraded pins + 4 canaries + 32 rotated back in = 50. The two lists
 # are separate so the length is asserted structurally, not counted by hand.
 _DRIVER_WINDOW = [
     # -- new in round 5 (never driver-checked) --------------------------------
+    "er_blocking_quality",
+    "er_b3_metrics",
     "er_snm_multikey_pairs",
     "er_streaming_clusters",
     "p2_label_in_kb_filter",
@@ -2780,8 +2782,6 @@ _DRIVER_WINDOW = [
     "s10_nested_json",
     "j4_bm25_scored_topk",
     "j5_ranked_candidates",
-    "a7_cumulative_histogram",
-    "t2_sessionization",
 ]
 
 # Rotated out for r5 (every entry below is double-green across r1–r4 with
@@ -2789,8 +2789,11 @@ _DRIVER_WINDOW = [
 # w4/so2 displaced late-r5 by the two new direct P2/§2.6 entries, which
 # per the rotation policy go first as never-checked).
 _DRIVER_REST = [
-    "er_blocking_quality",  # LATE r5, never driver-checked; next rotation's first pick
-    "er_b3_metrics",  # LATE r5, never driver-checked; next rotation's second pick
+    # a7/t2 displaced by the two late-r5 metric entries (er_blocking_quality,
+    # er_b3_metrics — never-checked goes first per the rotation policy); both
+    # are double-green (r2+r3) with code and oracle unchanged
+    "a7_cumulative_histogram",
+    "t2_sessionization",
     "w4_greedy_overlap_prune",
     "so2_partition_union",
     "er_flagship_clusters",
