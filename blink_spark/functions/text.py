@@ -146,3 +146,39 @@ def lang_id_heuristic(col: Column) -> Column:
 def fingerprint(col: Column) -> Column:
     """64-bit stable document fingerprint of canonicalized text (xxhash64)."""
     return F.xxhash64(canonicalize(col))
+
+
+# Lucene query metacharacters, per the reference's ESCAPE_CHARS_RE
+# (`blink/candidate_retrieval/utils.py:15`).
+_SOLR_SPECIALS = r'([&|+\-!(){}\[\]/^"~*?:])'
+
+
+def solr_escape(col: Column) -> Column:
+    """P7: Lucene/Solr query escaping (`blink/candidate_retrieval/utils.py:18-30`;
+    the same helper is repeated verbatim at `blink/candidate_generation.py:123-136`).
+
+    Behavior mirrored: a whole-string bare boolean operator (``OR``/``AND``)
+    is lowercased as-is; otherwise bare interior/leading/trailing operators
+    are lowercased and then every Lucene metacharacter is backslash-escaped.
+    All regexp_replace — JVM-side, codegen-friendly, no UDF.
+
+    Two documented divergences, both for cross-engine (Java-regex vs RE2)
+    portability:
+
+    * the reference skips characters already preceded by a backslash via a
+      ``(?<!\\\\)`` lookbehind; RE2 (the DuckDB oracle's engine) has no
+      lookbehind, so this escaper requires RAW (never pre-escaped) input —
+      exactly how the reference calls it, on mention text straight from the
+      corpus;
+    * in an adjacent operator run the reference's single alternation pass
+      lowers only alternate tokens ("x OR AND y" → "x or AND y", a regex
+      non-overlap artifact, not intent); the per-operator passes here share
+      that artifact per operator but lower both operators of a mixed run.
+    """
+    c = col
+    for op, low in (("OR", "or"), ("AND", "and")):
+        c = F.regexp_replace(c, rf"(\s){op}(\s)", f"$1{low}$2")
+        c = F.regexp_replace(c, rf"^{op}(\s)", f"{low}$1")
+        c = F.regexp_replace(c, rf"(\s){op}$", f"$1{low}")
+    c = F.regexp_replace(c, _SOLR_SPECIALS, r"\\$1")
+    return F.when(col.isin("OR", "AND"), F.lower(col)).otherwise(c)

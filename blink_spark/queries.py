@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from blink_spark.functions.text import (
     canonicalize,
     context_quota_window,
+    solr_escape,
     token_ngrams_from_tokens,
     tokens,
     word_window,
@@ -1437,6 +1438,127 @@ def u10_joint_score_threshold(spark, sf_dir):
 
 
 @q(
+    "u8_span_enumeration",
+    f"""WITH toks0 AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+        toks AS (SELECT doc_id,
+                        CAST(unnest(generate_series(1, len(t))) AS INT) - 1 AS idx,
+                        unnest(t) AS tok
+                 FROM toks0),
+        scored AS (SELECT doc_id, idx,
+                          length(tok) / 4.0 AS start_lp,
+                          ascii(substr(tok, 1, 1)) / 8.0 AS end_lp,
+                          -length(tok) / 16.0 AS inside_lp
+                   FROM toks WHERE length(tok) > 0),
+        cum AS (SELECT doc_id, idx, start_lp, end_lp, inside_lp,
+                       sum(inside_lp) OVER (PARTITION BY doc_id ORDER BY idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+                FROM scored),
+        sp AS (SELECT s.doc_id, s.idx AS start_idx, e.idx AS end_idx,
+                      s.start_lp + e.end_lp + (e.cum_end - (s.cum_end - s.inside_lp)) AS raw
+               FROM cum s JOIN cum e
+                 ON s.doc_id = e.doc_id AND e.idx >= s.idx AND e.idx < s.idx + 10),
+        ranked AS (SELECT doc_id, start_idx, end_idx, raw,
+                          row_number() OVER (PARTITION BY doc_id
+                              ORDER BY raw DESC, start_idx, end_idx) AS rn
+                   FROM sp)
+       SELECT doc_id, start_idx, end_idx, ROUND(raw, 6) AS span_score
+       FROM ranked WHERE rn <= 5""",
+)
+def u8_span_enumeration(spark, sf_dir):
+    """U8 direct (previously ∅ "not needed for transcripts"): enumerate all
+    token spans ≤ 10 long, score start_lp + end_lp + Σ inside_lp via the
+    cumsum-difference identity, top-5 per document —
+    `MentionScoresHead.forward` `elq/biencoder/biencoder.py:64-126` +
+    `filter_by_mention_size` `:128-142`. The per-token log-probs are
+    deterministic dyadic surrogates (length/4, ascii/8, -length/16 — exact
+    in binary fp, so the top-k boundary is engine- and order-independent);
+    the operator under test is the enumeration + scoring, not a model."""
+    return spans.enumerate_scored_spans(
+        _t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text", max_len=10, k=5
+    )
+
+
+@q(
+    "u9_span_embedding_pool",
+    """WITH s AS (SELECT vec_id,
+                         CAST(vec_id % 32 AS INT) AS start_idx,
+                         CAST(1 + vec_id % 7 AS INT) AS span_len,
+                         embedding
+                  FROM embeddings)
+       SELECT vec_id, start_idx, span_len,
+              ROUND(list_sum(list_transform(embedding[start_idx + 1 : start_idx + span_len],
+                                            x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)))
+                    / (1000.0 * span_len), 6) AS mean_pool,
+              ROUND(CAST(embedding[start_idx + 1] AS DOUBLE), 6) AS first_val,
+              ROUND(CAST(embedding[start_idx + span_len] AS DOUBLE), 6) AS last_val
+       FROM s""",
+)
+def u9_span_embedding_pool(spark, sf_dir):
+    """U9 direct (previously ∅): mean-pool an embedding slice by span bounds
+    plus first/last boundary values — `GetContextEmbedsHead.forward`
+    `elq/biencoder/biencoder.py:177-219` (average pooling; the first/last
+    columns mirror its concat variant) over `batched_span_select`-style
+    bounds. Spans are derived deterministically from vec_id (start =
+    vec_id % 32, len = 1 + vec_id % 7, always inside the 64-dim vector);
+    the mean is fixed-point (milliunit LONG sum) so it is fold-order
+    independent — see span_embedding_pool's docstring."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (F.col("vec_id") % 32).cast("int").alias("start_idx"),
+        (1 + F.col("vec_id") % 7).cast("int").alias("span_len"),
+        "embedding",
+    )
+    return spans.span_embedding_pool(e).select(
+        "vec_id", "start_idx", "span_len", "mean_pool", "first_val", "last_val"
+    )
+
+
+@q(
+    "p7_solr_escape",
+    r"""WITH qs AS (SELECT doc_id,
+                          'title:"' || substr(text, 1, 30) || '" AND ('
+                              || lang || ' OR ' || source || ')' AS query
+                   FROM documents),
+        low AS (SELECT doc_id, query,
+                       regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(regexp_replace(regexp_replace(query,
+                           '(\s)OR(\s)', '\1or\2', 'g'),
+                           '^OR(\s)', 'or\1'),
+                           '(\s)OR$', '\1or'),
+                           '(\s)AND(\s)', '\1and\2', 'g'),
+                           '^AND(\s)', 'and\1'),
+                           '(\s)AND$', '\1and') AS lowered
+                FROM qs)
+       SELECT doc_id,
+              CASE WHEN query IN ('OR', 'AND') THEN lower(query)
+                   ELSE regexp_replace(lowered,
+                        '([&|+\-!(){}\[\]/^"~*?:])', '\\\1', 'g')
+              END AS solr_query
+       FROM low""",
+)
+def p7_solr_escape(spark, sf_dir):
+    """P7 direct (previously ∅ "no query language"): Lucene/Solr query
+    escaping — lowercase bare OR/AND, backslash-escape metacharacters
+    (`blink/candidate_retrieval/utils.py:18-30`,
+    `blink/candidate_generation.py:123-136`). The query string is built
+    from each document the way the reference builds retrieval queries from
+    mention + context fields, so every row exercises ':', '"', '(', ')'
+    and a bare interior AND/OR. Pure regexp_replace — one codegen stage,
+    no UDF, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    query = F.concat(
+        F.lit('title:"'),
+        F.substring("text", 1, 30),
+        F.lit('" AND ('),
+        F.col("lang"),
+        F.lit(" OR "),
+        F.col("source"),
+        F.lit(")"),
+    )
+    return d.select("doc_id", solr_escape(query).alias("solr_query"))
+
+
+@q(
     "w8_best_epoch",
     """SELECT o_custkey AS custkey, o_orderkey AS orderkey FROM (
          SELECT o_custkey, o_orderkey,
@@ -2718,12 +2840,15 @@ def t1_streaming_agg(spark, sf_dir):
 # place ordering is decided.
 # ---------------------------------------------------------------------------
 
-# r5 window budget: 6 new + 1 missed-r4 (u10 sat at position 51 — the r4
+# r5 window budget: 9 new + 1 missed-r4 (u10 sat at position 51 — the r4
 # list was one over budget, caught in review) + 5 r4 first-timers + 2
-# r4-upgraded pins + 4 canaries + 32 rotated back in = 50. The two lists
+# r4-upgraded pins + 4 canaries + 29 rotated back in = 50. The two lists
 # are separate so the length is asserted structurally, not counted by hand.
 _DRIVER_WINDOW = [
     # -- new in round 5 (never driver-checked) --------------------------------
+    "u8_span_enumeration",
+    "u9_span_embedding_pool",
+    "p7_solr_escape",
     "er_blocking_quality",
     "er_b3_metrics",
     "er_snm_multikey_pairs",
@@ -2779,9 +2904,6 @@ _DRIVER_WINDOW = [
     "s11_sqlite_scan",
     "p10_context_quota_fit",
     "s9_link_extraction_chain",
-    "s10_nested_json",
-    "j4_bm25_scored_topk",
-    "j5_ranked_candidates",
 ]
 
 # Rotated out for r5 (every entry below is double-green across r1–r4 with
@@ -2790,10 +2912,14 @@ _DRIVER_WINDOW = [
 # per the rotation policy go first as never-checked).
 _DRIVER_REST = [
     # a7/t2 displaced by the two late-r5 metric entries (er_blocking_quality,
-    # er_b3_metrics — never-checked goes first per the rotation policy); both
-    # are double-green (r2+r3) with code and oracle unchanged
+    # er_b3_metrics) and s10/j4/j5 by the three direct span/escape entries
+    # (u8/u9/p7 — never-checked goes first per the rotation policy); all
+    # five are double-green (r2+r3) with code and oracle unchanged
     "a7_cumulative_histogram",
     "t2_sessionization",
+    "s10_nested_json",
+    "j4_bm25_scored_topk",
+    "j5_ranked_candidates",
     "w4_greedy_overlap_prune",
     "so2_partition_union",
     "er_flagship_clusters",

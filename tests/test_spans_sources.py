@@ -82,6 +82,67 @@ def test_joint_score_log_softmax_sums_to_one(spark):
         assert abs(sum(probs) - 1.0) < 1e-9, (g, probs)
 
 
+def test_solr_escape_reference_semantics(spark):
+    from blink_spark.functions.text import solr_escape
+
+    cases = [
+        # whole-string bare operators lowercase as-is
+        ("OR", "or"),
+        ("AND", "and"),
+        # interior / leading / trailing bare operators
+        ("foo AND bar", "foo and bar"),
+        ("OR leading", "or leading"),
+        ("trailing OR", "trailing or"),
+        # every Lucene metacharacter gets a backslash
+        ('a+b:c (x) "y"~2 / [z]', 'a\\+b\\:c \\(x\\) \\"y\\"\\~2 \\/ \\[z\\]'),
+        # lowering runs before escaping; plain text is untouched
+        ("find:this AND that", "find\\:this and that"),
+        ("plain words only", "plain words only"),
+        # ANDROID / ORBIT are not bare operators
+        ("ANDROID ORBIT", "ANDROID ORBIT"),
+    ]
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(cases)], "i long, q string")
+    got = {r.i: r.e for r in df.select("i", solr_escape(F.col("q")).alias("e")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_enumerate_scored_spans_hand_computed(spark):
+    # tokens of "ab c": ['ab', 'c'] → start_lp = len/4, end_lp = ascii/8,
+    # inside_lp = -len/16 (all dyadic → exact float arithmetic)
+    df = spark.createDataFrame([(7, "ab c")], "doc_id long, text string")
+    rows = {
+        (r.start_idx, r.end_idx): r.span_score
+        for r in spans.enumerate_scored_spans(df).collect()
+    }
+    assert rows == {
+        (0, 1): 0.5 + 99 / 8.0 - 0.1875,  # 12.6875
+        (1, 1): 0.25 + 99 / 8.0 - 0.0625,  # 12.5625
+        (0, 0): 0.5 + 97 / 8.0 - 0.125,  # 12.5
+    }
+
+
+def test_enumerate_scored_spans_caps(spark):
+    text = " ".join(["tok"] * 12)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = spans.enumerate_scored_spans(df, max_len=3, k=100).collect()
+    # 12 + 11 + 10 spans of lengths 1..3, none longer than max_len
+    assert len(out) == 33
+    assert max(r.end_idx - r.start_idx + 1 for r in out) == 3
+    topk = spans.enumerate_scored_spans(df, max_len=3, k=4).collect()
+    assert len(topk) == 4
+
+
+def test_span_embedding_pool_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 2, [1.0, 2.0, 4.0, 8.0])],
+        "vec_id long, start_idx int, span_len int, embedding array<float>",
+    )
+    r = spans.span_embedding_pool(df).collect()[0]
+    assert r.mean_pool == 3.0  # mean of [2.0, 4.0]
+    assert r.first_val == 2.0 and r.last_val == 4.0
+
+
 def test_tsv_fixture_roundtrip(spark):
     path = fixtures.tsv_fixture(SF_DIR)
     df = text_formats.read_tsv_positional(spark, path, ["doc_id", "lang", "head"])
